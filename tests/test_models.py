@@ -1,0 +1,129 @@
+"""Shape/dtype/init tests for the denoiser families (tiny configs, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsdiff_tpu.models import UNet
+from dsdiff_tpu.models.dsunet import DSUNet
+
+TINY = dict(
+    model_channels=32,
+    num_res_blocks=1,
+    attention_resolutions=(4,),
+    channel_mult=(1, 2),
+    num_heads=4,
+)
+
+
+def test_unet_shapes_and_zero_init():
+    m = UNet(in_channels=2, out_channels=1, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 2))
+    t = jnp.array([0.0, 10.0])
+    params = jax.eval_shape(m.init, jax.random.PRNGKey(0), x, t)
+    # real init + apply
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (2, 32, 32, 1)
+    assert out.dtype == jnp.float32
+    # zero-init out conv -> exactly zero output at init
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_unet_learn_sigma_channels():
+    m = UNet(in_channels=1, out_channels=2, **TINY)
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,))
+    shapes = jax.eval_shape(
+        lambda: m.apply(m.init(jax.random.PRNGKey(0), x, t), x, t)
+    )
+    assert shapes.shape == (1, 32, 32, 2)
+
+
+def test_unet_class_conditional():
+    m = UNet(in_channels=1, out_channels=1, num_classes=5, **TINY)
+    x = jnp.zeros((2, 32, 32, 1))
+    t = jnp.zeros((2,))
+    y = jnp.array([0, 3])
+    params = m.init(jax.random.PRNGKey(0), x, t, y=y)
+    out = m.apply(params, x, t, y=y)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_unet_cross_attention_context():
+    m = UNet(
+        in_channels=1, out_channels=1, use_spatial_transformer=True,
+        context_dim=16, **TINY,
+    )
+    x = jnp.zeros((2, 32, 32, 1))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 7, 16))
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = m.apply(params, x, t, ctx)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_unet_fft_attention():
+    m = UNet(
+        in_channels=1, out_channels=1, use_spatial_transformer=True,
+        use_fft_attention=True, **TINY,
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,))
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (1, 32, 32, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dsunet_outputs_and_features():
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out, feats = m.apply(params, x, t)
+    assert out.shape == (2, 32, 32, 1)
+    # feature groups: style/content over (a, al, l); anatomy (a, al);
+    # lesion (al, l); n_style_content 4-tuple (model.py:751-756)
+    assert feats["style"].shape[0] == 3
+    assert feats["content"].shape[0] == 3
+    assert feats["anatomy"].shape[0] == 2
+    assert feats["lesion"].shape[0] == 2
+    assert feats["n_style_content"].shape[0] == 4
+
+
+def test_dsunet_per_stream_params_differ():
+    """The vmapped encoder must own distinct per-stream weights (the
+    reference deep-copies its 4 encoders, model.py:522-524)."""
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    x = jnp.zeros((1, 32, 32, 4))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    enc = params["params"]["encoders"]
+    leaves = jax.tree.leaves(enc)
+    assert all(l.shape[0] == 4 for l in leaves)  # stream axis everywhere
+    # random init -> streams differ on at least one (non-bias) kernel
+    assert any(
+        float(jnp.max(jnp.abs(l[0] - l[1]))) > 0 for l in leaves if l.ndim > 2
+    )
+
+
+def test_dsunet_two_channel_fallback():
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    x4 = jnp.zeros((1, 32, 32, 4))
+    params = m.init(jax.random.PRNGKey(0), x4, jnp.zeros((1,)))
+    out, _ = m.apply(params, jnp.zeros((1, 32, 32, 2)), jnp.zeros((1,)))
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_attention_fallback_matches_reference_softmax():
+    """ops.scaled_attention (XLA path on CPU) == straight softmax attention."""
+    from dsdiff_tpu.ops import scaled_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (2, 16, 4, 8))
+    k = jax.random.normal(k2, (2, 16, 4, 8))
+    v = jax.random.normal(k3, (2, 16, 4, 8))
+    out = scaled_attention(q, k, v)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(8)
+    ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
