@@ -1,0 +1,3 @@
+from . import assemble, metrics
+from .assemble import VolumeAssembler, evaluate_predictions, write_metric_report
+from .metrics import evaluate_volume

@@ -1,0 +1,102 @@
+"""Metric library tests: golden values and invariances."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsdiff_tpu.eval import metrics
+from dsdiff_tpu.eval.assemble import VolumeAssembler, write_metric_report
+from dsdiff_tpu.data.nifti import Nifti, write_nifti
+
+
+RNG = np.random.default_rng(0)
+VOL = RNG.uniform(-1, 1, size=(48, 48, 6)).astype(np.float32)
+
+
+def test_scale12bit_stats():
+    s = metrics.scale12bit(VOL)
+    assert s.min() >= 1e-10 and s.max() <= 4095
+    np.testing.assert_allclose(np.mean(s), 2048, atol=2)
+    np.testing.assert_allclose(np.std(s), 400, rtol=0.02)
+
+
+def test_identity_metrics():
+    assert metrics.nrmse(VOL, VOL) == 0.0
+    assert metrics.smape(VOL, VOL) == 0.0
+    assert metrics.logac(VOL, VOL) == 0.0
+    assert metrics.medsymac(VOL, VOL) == 0.0
+    assert metrics.mae(VOL, VOL) == 0.0
+    assert metrics.cc(VOL, VOL) == pytest.approx(1.0, abs=1e-6)
+    assert metrics.dice(np.ones((4, 4)), np.ones((4, 4))) == 1.0
+
+
+def test_psnr_golden():
+    t = np.zeros((8, 8, 8)); t[0, 0, 0] = 1.0  # data_range 1
+    p = t + 0.1
+    # mse = 0.01 -> psnr = 20
+    assert metrics.psnr(t, p) == pytest.approx(20.0, abs=1e-6)
+
+
+def test_nrmse_golden():
+    t = np.array([0.0, 2.0])
+    p = np.array([1.0, 1.0])
+    # rmse = 1, range = 2
+    assert metrics.nrmse(t, p) == pytest.approx(0.5)
+
+
+def test_ssim_properties():
+    a = jnp.asarray(RNG.uniform(0, 1, (2, 32, 32)).astype(np.float32))
+    s_same = metrics.ssim(a, a)
+    np.testing.assert_allclose(np.asarray(s_same), 1.0, atol=1e-5)
+    noisy = a + 0.5 * jnp.asarray(
+        RNG.normal(size=a.shape).astype(np.float32))
+    s_noisy = metrics.ssim(a, noisy)
+    assert np.all(np.asarray(s_noisy) < 0.9)
+
+
+def test_ms_ssim_properties():
+    a = jnp.asarray(RNG.uniform(0, 1, (1, 192, 192)).astype(np.float32))
+    v = metrics.ms_ssim(a, a)
+    np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-4)
+    shifted = jnp.roll(a, 9, axis=1)
+    assert float(metrics.ms_ssim(a, shifted)[0]) < 0.999
+
+
+def test_ms_ssim_volume_mask():
+    vol = RNG.uniform(0, 1, size=(192, 192, 3)).astype(np.float64)
+    v = metrics.ms_ssim_volume(vol, vol)
+    assert v == pytest.approx(1.0, abs=1e-4)
+
+
+def test_nmi_bounds():
+    v = metrics.nmi(VOL, VOL)
+    assert v == pytest.approx(1.0, abs=0.01)
+    ind = RNG.uniform(-1, 1, VOL.shape)
+    assert metrics.nmi(VOL, ind) < 0.5
+
+
+def test_dice_golden():
+    a = np.zeros((4, 4)); a[:2] = 1
+    b = np.zeros((4, 4)); b[1:3] = 1
+    assert metrics.dice(a, b) == pytest.approx(0.5)
+
+
+def test_assembler_and_report(tmp_path):
+    asm = VolumeAssembler(tmp_path / "preds", task_id="T1")
+    img = RNG.uniform(size=(10, 10)).astype(np.float32)
+    for s in range(4):
+        asm.add("caseA", s, img * s)
+    template = Nifti(np.zeros((10, 10, 4), np.float32),
+                     np.diag([2.0, 2.0, 5.0, 1.0]))
+    tpath = tmp_path / "template.nii.gz"
+    write_nifti(tpath, template)
+    out = asm.write_case("caseA", tpath)
+    assert out.name == "T1_caseA_pred.nii.gz"
+    from dsdiff_tpu.data.nifti import read_nifti
+    back = read_nifti(out)
+    np.testing.assert_allclose(back.spacing, (2.0, 2.0, 5.0))
+    np.testing.assert_allclose(back.data[:, :, 2], img * 2, rtol=1e-6)
+
+    rows = [{"case": "a", "psnr": 20.0}, {"case": "b", "psnr": 30.0}]
+    rp = write_metric_report(rows, tmp_path / "m.csv")
+    text = rp.read_text()
+    assert "mean,25.0" in text
