@@ -26,6 +26,9 @@ __all__ = [
     "mean_flat",
     "supervised_contrastive_loss",
     "euclidean_disentangle_loss",
+    "disentangle_loss",
+    "ds_disentangle_losses",
+    "disc_disentangle_loss",
 ]
 
 
@@ -91,83 +94,185 @@ def charbonnier(pred, target, eps: float = 1e-3):
     return jnp.sqrt((pred - target) ** 2 + eps * eps)
 
 
+def _flatten_views(features: jnp.ndarray) -> jnp.ndarray:
+    """[b, n, ...] -> [n*b, D] view-major (torch.cat(torch.unbind(dim=1)))."""
+    b, n = features.shape[0], features.shape[1]
+    return features.reshape(b, n, -1).transpose(1, 0, 2).reshape(n * b, -1)
+
+
+def _flatten_view_labels(labels: jnp.ndarray) -> jnp.ndarray:
+    """[b, n] -> [n*b] view-major."""
+    return labels.transpose(1, 0).reshape(-1)
+
+
 def supervised_contrastive_loss(
     features: jnp.ndarray,
-    labels: jnp.ndarray | None = None,
-    mask: jnp.ndarray | None = None,
-    temperature: float = 0.07,
-    base_temperature: float = 0.07,
-    contrast_mode: str = "all",
+    labels: jnp.ndarray,
+    temperature: float = 0.1,
+    base_temperature: float = 0.1,
 ):
-    """SupCon loss over ``features`` of shape [B, n_views, D] (L2-normalized here).
+    """SupCon ('cl' method, contrast_mode='all') over per-view labels.
 
-    Faithful to reference loss_function/contrastive_loss.py:33-135:
-    - labels [B] build mask[i,j] = (labels_i == labels_j)
-    - ``contrast_mode='all'``: every view is an anchor
-    - row-max subtraction for stability, self-contrast excluded
-    - returns (loss, anchor_dot_contrast, perfect_logits) for heatmap logging
+    Faithful to reference loss_function/contrastive_loss.py:36-135 as used by
+    get_disentangle_loss (gaussian_diffusion.py:1056-1059):
+    - ``features`` [b, n_views, ...], ``labels`` [b, n_views] (or [b],
+      broadcast over views); both flattened view-major,
+    - cosine-similarity logits / temperature, self-contrast excluded from the
+      positive mask AND the denominator,
+    - loss = -(T/base_T) * mean-over-positives log prob, mean over anchors.
+    Returns (loss, logits, perfect_logits) for heatmap logging.
     """
-    B, n_views = features.shape[0], features.shape[1]
-    feats = features.reshape(B, n_views, -1)
-    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+    b, n = features.shape[0], features.shape[1]
+    if labels.ndim == 1:
+        labels = jnp.broadcast_to(labels[:, None], (b, n))
+    flat_labels = _flatten_view_labels(labels)[:, None]  # [N,1]
+    mask = (flat_labels == flat_labels.T).astype(jnp.float32)
+    perfect_logit = 2.0 * mask - 1.0
 
-    if labels is not None and mask is not None:
-        raise ValueError("cannot define both labels and mask")
-    if labels is None and mask is None:
-        mask = jnp.eye(B, dtype=jnp.float32)
-    elif labels is not None:
-        labels = labels.reshape(-1, 1)
-        mask = (labels == labels.T).astype(jnp.float32)
-    else:
-        mask = mask.astype(jnp.float32)
+    f = _flatten_views(features)
+    f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+    logits = (f @ f.T) / temperature
 
-    contrast_count = n_views
-    contrast_feature = feats.transpose(1, 0, 2).reshape(B * n_views, -1)
-    if contrast_mode == "one":
-        anchor_feature = feats[:, 0]
-        anchor_count = 1
-    elif contrast_mode == "all":
-        anchor_feature = contrast_feature
-        anchor_count = contrast_count
-    else:
-        raise ValueError(f"unknown contrast_mode {contrast_mode}")
-
-    anchor_dot_contrast = (anchor_feature @ contrast_feature.T) / temperature
-    logits_max = jax.lax.stop_gradient(
-        jnp.max(anchor_dot_contrast, axis=1, keepdims=True)
+    N = b * n
+    logits_mask = 1.0 - jnp.eye(N, dtype=jnp.float32)
+    pos_mask = mask * logits_mask
+    # row-max subtraction for numerical stability (does not change log-probs)
+    shifted = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=1, keepdims=True)
     )
-    logits = anchor_dot_contrast - logits_max
-
-    mask = jnp.tile(mask, (anchor_count, contrast_count))
-    n = B * anchor_count
-    logits_mask = 1.0 - jnp.eye(n, dtype=jnp.float32)
-    mask = mask * logits_mask
-
-    exp_logits = jnp.exp(logits) * logits_mask
-    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True) + 1e-12)
-    mask_sum = jnp.clip(jnp.sum(mask, axis=1), min=1e-12)
-    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / mask_sum
-    loss = -(temperature / base_temperature) * mean_log_prob_pos
-    loss = loss.reshape(anchor_count, B).mean()
-    return loss, anchor_dot_contrast, mask
+    exp_logits = jnp.exp(shifted) * logits_mask
+    log_prob = shifted - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
+    mean_log_prob_pos = jnp.sum(pos_mask * log_prob, axis=1) / (
+        jnp.sum(pos_mask, axis=1) + 1e-6
+    )
+    loss = -(temperature / base_temperature) * jnp.mean(mean_log_prob_pos)
+    return loss, logits, perfect_logit
 
 
 def euclidean_disentangle_loss(features: jnp.ndarray, labels: jnp.ndarray):
-    """Pull same-label features together, push different-label apart.
+    """cdist pull/push ratio ('eu' mode).
 
-    ``features``: [N, D] flattened group features; ``labels``: [N].
-    Reference training_project/utils/gaussian_diffusion.py:1056-1075 ('eu'):
-    loss = mean(same-label pairwise dist) / (mean(diff-label pairwise dist)+eps)
-    computed on cdist of flattened features, normalized by feature dim.
+    Faithful to reference gaussian_diffusion.py:1060-1075:
+    ``features`` [b, n, ...], ``labels`` [b, n]; flatten view-major,
+    dist = ||f_i - f_j||_2 / D, loss = sum(dist over same-label off-diagonal
+    pairs) / sum(dist over different-label pairs).
+    Returns (loss, logits, perfect_logits) with logits = 2*dist - 1.
     """
-    f = features.reshape(features.shape[0], -1)
-    f = f / jnp.sqrt(jnp.float32(f.shape[-1]))
-    d2 = jnp.sum((f[:, None, :] - f[None, :, :]) ** 2, axis=-1)
-    dist = jnp.sqrt(d2 + 1e-12)
-    same = (labels[:, None] == labels[None, :]).astype(jnp.float32)
-    eye = jnp.eye(labels.shape[0], dtype=jnp.float32)
-    same_off = same * (1.0 - eye)
-    diff = 1.0 - same
-    pull = jnp.sum(dist * same_off) / jnp.clip(jnp.sum(same_off), min=1.0)
-    push = jnp.sum(dist * diff) / jnp.clip(jnp.sum(diff), min=1.0)
-    return pull / (push + 1e-6)
+    b, n = features.shape[0], features.shape[1]
+    if labels.ndim == 1:
+        labels = jnp.broadcast_to(labels[:, None], (b, n))
+    flat_labels = _flatten_view_labels(labels)[:, None]
+    f = _flatten_views(features)
+    D = f.shape[1]
+    d2 = jnp.maximum(
+        jnp.sum(f**2, 1)[:, None] + jnp.sum(f**2, 1)[None, :]
+        - 2.0 * (f @ f.T),
+        0.0,
+    )
+    dist = jnp.sqrt(d2 + 1e-12) / D
+    same = (flat_labels == flat_labels.T).astype(jnp.float32)
+    eye = jnp.eye(f.shape[0], dtype=jnp.float32)
+    numerator = jnp.sum(dist * same * (1.0 - eye))
+    denominator = jnp.sum(dist * (1.0 - same))
+    loss = numerator / (denominator + 1e-12)
+    return loss, dist * 2.0 - 1.0, 2.0 * same - 1.0
+
+
+def disentangle_loss(
+    features: jnp.ndarray,
+    labels: jnp.ndarray,
+    mode: str = "eu",
+    temperature: float = 0.1,
+):
+    """'eu' | 'contrast' | 'eu&contrast' dispatch
+    (gaussian_diffusion.py:1056-1094; the combined mode adds 0.05x SupCon)."""
+    if mode == "contrast":
+        return supervised_contrastive_loss(features, labels, temperature,
+                                           temperature)
+    if mode == "eu":
+        return euclidean_disentangle_loss(features, labels)
+    if mode == "eu&contrast":
+        l_c, logits, perfect = supervised_contrastive_loss(
+            features, labels, temperature, temperature
+        )
+        l_e, _, _ = euclidean_disentangle_loss(features, labels)
+        return l_e + 0.05 * l_c, logits, perfect
+    raise ValueError(f"unknown disentangle mode '{mode}'")
+
+
+def ds_disentangle_losses(
+    features: dict,
+    mode: str = "eu",
+    temperature: float = 0.05,
+):
+    """The DS-Diff C-S and S-A-L disentangle objectives.
+
+    Faithful to reference gaussian_diffusion.py:907-974. ``features`` is the
+    DSUNet feature dict with stream-major arrays: content/style [3, B, ...],
+    anatomy/lesion [2, B, ...]. Label construction:
+
+    - C-S (content vs style): views = 3 contents + 3 styles; labels
+      [b, b, b, -1, -2, -3] — contents of one batch item share a class,
+      style slots share a class per stream across the batch.
+    - S-A-L: views = 3 styles + 2 anatomy + 2 lesion; labels
+      [-1, -2, -3, 2b, 2b, 2b+1, 2b+1].
+
+    Returns (c_s_loss, s_a_l_loss, logit dict for heatmaps).
+    """
+    # stream-major [n, B, ...] -> [B, n, ...]
+    def bm(x):
+        return jnp.moveaxis(x, 0, 1)
+
+    content, style = bm(features["content"]), bm(features["style"])
+    anatomy, lesion = bm(features["anatomy"]), bm(features["lesion"])
+    B = content.shape[0]
+    bidx = jnp.arange(B)
+
+    c_s_feature = jnp.concatenate([content, style], axis=1)
+    c_lab = jnp.broadcast_to(bidx[:, None], (B, content.shape[1]))
+    s_lab = jnp.broadcast_to(
+        -1 - jnp.arange(style.shape[1])[None, :], (B, style.shape[1])
+    )
+    c_s_label = jnp.concatenate([c_lab, s_lab], axis=1)
+    c_s_loss, cs_logit, cs_perfect = disentangle_loss(
+        c_s_feature, c_s_label, mode, temperature
+    )
+
+    s_a_l_feature = jnp.concatenate([style, anatomy, lesion], axis=1)
+    a_lab = jnp.broadcast_to(2 * bidx[:, None], (B, anatomy.shape[1]))
+    l_lab = jnp.broadcast_to(
+        (2 * bidx + 1)[:, None], (B, lesion.shape[1])
+    )
+    s_a_l_label = jnp.concatenate([s_lab, a_lab, l_lab], axis=1)
+    s_a_l_loss, sal_logit, sal_perfect = disentangle_loss(
+        s_a_l_feature, s_a_l_label, mode
+    )
+    heatmaps = {
+        "c_s": cs_logit, "c_s_perfect": cs_perfect,
+        "s_a_l": sal_logit, "s_a_l_perfect": sal_perfect,
+    }
+    return c_s_loss, s_a_l_loss, heatmaps
+
+
+def disc_disentangle_loss(features: dict) -> jnp.ndarray:
+    """DisC-Diff com/dist ratio.
+
+    Reference Disc_diff/guided_diffusion/gaussian_diffusion.py:898-916:
+    com = mean pairwise MSE between common features (pull together),
+    dist = mean pairwise MSE between distinct features (push apart),
+    loss = com / dist.
+    """
+    com = features["common"]  # [n, B, ...]
+    dist = features["distinct"]
+    n = com.shape[0]
+
+    def pair_mse(x):
+        total = 0.0
+        count = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                total = total + jnp.mean((x[i] - x[j]) ** 2)
+                count += 1
+        return total / max(count, 1)
+
+    return pair_mse(com) / (pair_mse(dist) + 1e-8)

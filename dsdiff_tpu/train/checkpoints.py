@@ -1,0 +1,126 @@
+"""Orbax checkpointing with best-by-val-SSIM retention and resume.
+
+Replaces all three reference mechanisms (SURVEY.md §5 checkpoint/resume):
+Lightning ModelCheckpoint best/periodic triple
+(train_main_DS_diffusion.py:65-88), the OpenAI rank-0 blobfile saves + MPI
+chunked broadcast (train_util.py:305-328, dist_util.py:54-74), and the regex
+checkpoint auto-discovery (train_main_DS_diffusion.py:129-145). Orbax writes
+are async and per-host sharded; discovery is ``latest_step()``; best-k
+retention keyed on ``val_ssim`` replaces the 'best-{epoch}' files.
+
+Only arrays are checkpointed (params / EMA / opt state / sampler buffers +
+a JSON metrics sidecar); the optimizer/apply_fn are rebuilt from config at
+restore (state.replace over a freshly created TrainState).
+"""
+from __future__ import annotations
+
+import jax
+from pathlib import Path
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory,
+        max_to_keep: int = 3,
+        best_metric: str = "val_ssim",
+        keep_best: bool = True,
+    ):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m.get(best_metric, -1.0)) if keep_best else None,
+            best_mode="max" if keep_best else None,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, sampler_state=None,
+             metrics: dict | None = None):
+        tree = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+        }
+        if sampler_state is not None:
+            tree["sampler"] = {
+                "loss_history": sampler_state.loss_history,
+                "loss_counts": sampler_state.loss_counts,
+            }
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(tree),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        return self._mgr.best_step()
+
+    def restore(self, state, sampler_state=None, step: int | None = None):
+        """Restore into existing (state, sampler_state) templates; returns
+        the updated pair (sampler unchanged if it wasn't saved)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return state, sampler_state
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+        }
+        if sampler_state is not None:
+            template["sampler"] = {
+                "loss_history": sampler_state.loss_history,
+                "loss_counts": sampler_state.loss_counts,
+            }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        state = state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema_params=restored["ema_params"],
+        )
+        if sampler_state is not None and "sampler" in restored:
+            sampler_state = sampler_state.replace(
+                loss_history=restored["sampler"]["loss_history"],
+                loss_counts=restored["sampler"]["loss_counts"],
+            )
+        return state, sampler_state
+
+    def restore_params(self, params_template, step: int | None = None,
+                       ema: bool = True):
+        """Load just (EMA) params for inference."""
+        if step is None:
+            step = self.best_step() or self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        key = "ema_params" if ema else "params"
+        restored = self._mgr.restore(step)
+        out = restored[key]
+        if params_template is not None:
+            # match the template's structure/dtypes (host numpy -> device)
+            out = jax.tree.map(
+                lambda t, v: jax.numpy.asarray(v, dtype=t.dtype),
+                params_template, out,
+            )
+        return out
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -1,0 +1,144 @@
+"""Training-stack tests: state/EMA, schedule sampler, config, checkpoints,
+and the tiny end-to-end fit->validate->predict->resume loop on the 8-device
+CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsdiff_tpu.train import (
+    Config, TaskConfig, TrainState, cosine_lr, load_run_config, make_optimizer,
+    merge,
+)
+from dsdiff_tpu.train import schedule_sampler as ss
+
+
+def test_train_state_ema_warmup():
+    params = {"w": jnp.ones((4,))}
+    tx = make_optimizer(1e-2)
+    st = TrainState.create(lambda p, x: x, params, tx, ema_decay=0.9999)
+    grads = {"w": jnp.ones((4,))}
+    st2 = st.apply_gradients(grads)
+    assert int(st2.step) == 1
+    # step 0: decay = min(0.9999, 1/10) = 0.1 -> ema ~ params
+    np.testing.assert_allclose(
+        np.asarray(st2.ema_params["w"]),
+        0.1 * np.asarray(st.params["w"]) + 0.9 * np.asarray(st2.params["w"]),
+        rtol=1e-5,
+    )
+
+
+def test_uniform_sampler():
+    st = ss.make_schedule_sampler("uniform", 100)
+    t, w = ss.sample_t(st, jax.random.PRNGKey(0), 64)
+    assert t.shape == (64,) and int(t.min()) >= 0 and int(t.max()) < 100
+    np.testing.assert_allclose(np.asarray(w), 1.0)
+    st2 = ss.update_state(st, t, jnp.ones((64,)))
+    assert st2 is st  # no-op
+
+
+def test_loss2_sampler_warmup_and_importance():
+    T, hist = 10, 3
+    st = ss.loss2_init(T, hist)
+    rng = jax.random.PRNGKey(0)
+    # before warmup: uniform weights
+    t, w = ss.sample_t(st, rng, 8)
+    np.testing.assert_allclose(np.asarray(w), 1.0, rtol=1e-5)
+    # fill history: big losses at t=0, small elsewhere
+    for i in range(hist * T):
+        tt = jnp.array([i % T])
+        loss = jnp.array([10.0 if (i % T) == 0 else 0.1])
+        st = ss.update_state(st, tt, loss)
+    assert bool(jnp.all(st.loss_counts == hist))
+    t, w = ss.sample_t(st, rng, 512)
+    frac_t0 = float(jnp.mean((t == 0).astype(jnp.float32)))
+    assert frac_t0 > 0.5  # importance-sampled toward the lossy timestep
+    # weights are 1/(T p): smaller for oversampled t
+    assert float(w[t == 0].mean()) < 1.0
+
+
+def test_sampler_state_jittable():
+    st = ss.loss2_init(10, 3)
+
+    @jax.jit
+    def f(s, t, l):
+        return ss.update_state(s, t, l)
+
+    out = f(st, jnp.array([1, 1]), jnp.array([0.5, 0.7]))
+    assert float(out.loss_history[1].max()) > 0
+
+
+def test_config_merge_and_paths(tmp_path):
+    a = {"x": 1, "nested": {"a": 1, "b": 2}}
+    b = {"nested": {"b": 3, "c": 4}, "y": 5}
+    m = merge(a, b)
+    assert m.x == 1 and m.y == 5
+    assert m.nested.a == 1 and m.nested.b == 3 and m.nested.c == 4
+    assert m.get_path("nested.c") == 4
+    assert m.get_path("nested.zzz", "dflt") == "dflt"
+
+    run = tmp_path / "run.yaml"
+    model = tmp_path / "model.yaml"
+    run.write_text("lr: 0.1\nconfig_opt: model.yaml\n")
+    model.write_text("lr: 0.2\nmodel:\n  name: unet\n")
+    cfg = load_run_config(run)
+    assert cfg.lr == 0.2  # model config overrides
+    assert cfg.model.name == "unet"
+
+
+def test_cosine_lr_schedule():
+    sched = cosine_lr(1e-3, 100, warmup_steps=10, min_lr=1e-6)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(100)) < 1e-5
+
+
+def _tiny_dataset(tmp_path, hw=16, keys=("A", "B")):  # 4 cases x 8 slices
+    from dsdiff_tpu.data import h5store
+
+    rng = np.random.default_rng(0)
+    for c in range(4):
+        for i in range(8):
+            for split in ("tr", "ts"):
+                h5store.write_slice(
+                    tmp_path / "data" / f"images_{split}_{hw}"
+                    / f"case{c}" / f"layer_{i}.h5",
+                    {k: rng.normal(size=(hw, hw)).astype(np.float32)
+                     for k in keys},
+                )
+    return tmp_path / "data"
+
+
+@pytest.mark.slow
+def test_end_to_end_fit_predict_resume(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path)
+    cfg = Config.wrap(dict(
+        net_mode="ddpm", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=False, parameterization="eps",
+        disentangle_distance=None,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    assert tr.mesh.devices.size == 8
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1, val_every_epochs=1)
+    assert step >= 1
+    out_dir, _ = tr.predict()
+    preds = sorted(p.name for p in out_dir.glob("*_pred.nii.gz"))
+    assert len(preds) == 4
+
+    tr2 = Trainer(cfg, tmp_path / "run")
+    tr2.state, tr2.sampler_state = tr2.ckpt.restore(
+        tr2.state, tr2.sampler_state)
+    assert int(jax.device_get(tr2.state.step)) == step
+    tr.ckpt.close()
+    tr2.ckpt.close()
