@@ -1,0 +1,108 @@
+"""Headline benchmark: 256^2 DDIM-50 inference on the flagship DSUNet.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Metric = denoise steps/sec/chip (model forwards * batch per second on one
+chip) for the flagship DSUnet at 256^2 with DDIM-50 — the BASELINE.json
+headline. ``vs_baseline`` anchors to the reference's published sampler
+latency: DDIM-100 at 256^2 ~= 9 s/sample on V100
+(model_architecture_thesis.md:552-560), i.e. ~11.1 denoiser forwards/sec
+single-stream.
+
+The whole 50-step reverse chain is one jitted lax.scan (no host round-trips);
+batch amortizes weight traffic over the MXU.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FWD_PER_SEC = 100.0 / 9.0  # reference DDIM-100 ~9s/sample on V100
+
+STEPS = 50
+H = 256
+COND_CH = 3
+
+
+def build(batch):
+    from dsdiff_tpu.core import schedules
+    from dsdiff_tpu.models import DSUNet
+    from dsdiff_tpu.train.step import TaskConfig, make_sample_fn
+
+    model = DSUNet(
+        in_channels=1 + COND_CH,
+        model_channels=96,
+        out_channels=2,  # learn_sigma
+        num_res_blocks=2,
+        attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 1, 2, 2, 3, 3),
+        num_head_channels=48,
+        use_scale_shift_norm=True,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, H, H, 1 + COND_CH), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    betas = schedules.make_beta_schedule("linear", 1000)
+    rsched = schedules.respace(
+        betas, schedules.space_timesteps(1000, str(STEPS))
+    )
+    task = TaskConfig(parameterization="v", loss_type="charbonnier",
+                      learn_sigma=True)
+    sample_fn = make_sample_fn(model.apply, rsched, task, "ddim")
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, H, H, COND_CH), jnp.float32
+    )
+    return params, sample_fn, cond
+
+
+def run(batch, repeats=3):
+    params, sample_fn, cond = build(batch)
+    rng = jax.random.PRNGKey(2)
+    # warmup/compile
+    out = sample_fn(params, cond, rng)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = sample_fn(params, cond, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / repeats
+    return dt
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    candidates = [batch] if batch else [16, 8, 4, 2, 1]
+    dt, used_batch = None, None
+    for b in candidates:
+        try:
+            dt = run(b)
+            used_batch = b
+            break
+        except Exception as e:  # OOM fallback to smaller batch
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                continue
+            raise
+    if dt is None:
+        raise RuntimeError("all batch sizes failed")
+
+    steps_per_sec = STEPS * used_batch / dt
+    slices_per_sec = used_batch / dt
+    print(json.dumps({
+        "metric": "dsunet_256_ddim50_denoise_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "model_fwd/s/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_FWD_PER_SEC, 2),
+        "slices_per_sec": round(slices_per_sec, 3),
+        "batch": used_batch,
+        "sample_latency_s": round(dt, 3),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,7 @@ def make_sample_fn(
     sampler: str = "ddim",
     eta: float = 0.0,
     clip_denoised: bool = True,
+    out_channels: int = 1,
 ):
     """Returns jitted (params, cond, rng) -> samples [B, H, W, C].
 
@@ -152,7 +153,7 @@ def make_sample_fn(
 
     def fn(params, cond, rng):
         B, H, W, _ = cond.shape
-        out_ch = 1
+        out_ch = out_channels
         x_rng, loop_rng = jax.random.split(rng)
         x_T = jax.random.normal(x_rng, (B, H, W, out_ch), jnp.float32)
         raw = _denoiser(apply_fn, params, cond, train=False)

@@ -46,6 +46,7 @@ FEATURE_KINDS = {
     "disc_diff": ("disc_unet", "disc"),
     "ddpm": ("unet", None),
     "dit": ("dit", None),
+    "latent": ("unet", None),
 }
 
 
@@ -99,6 +100,42 @@ class Trainer:
             disen_lambda=float(cfg.get("contrast_lambda", 0.5)),
         )
 
+        # ---- first stage (latent pipeline)
+        self.first_stage = None
+        z_ch = 1
+        latent_ds = 1
+        if net_mode == "latent":
+            from ..models import AutoencoderKL
+            from .latent import LatentAdapter
+
+            fs = dict(cfg.get_path("first_stage.params", {}) or {})
+            vae = AutoencoderKL(
+                ch=int(fs.get("ch", 128)),
+                ch_mult=tuple(fs.get("ch_mult", (1, 2, 4, 4))),
+                num_res_blocks=int(fs.get("num_res_blocks", 2)),
+                z_channels=int(fs.get("z_channels", 4)),
+                embed_dim=int(fs.get("embed_dim", 4)),
+                dtype=jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32,
+            )
+            vae_rng = jax.random.PRNGKey(int(cfg.get("seed", 2024)))
+            vsz = int(cfg.get("image_size", 256))
+            vae_params = vae.init(
+                vae_rng, jnp.zeros((1, vsz, vsz, 1)), vae_rng
+            )
+            ckpt_path = cfg.get("vae_checkpoint")
+            if ckpt_path:
+                from .checkpoints import CheckpointManager as _CM
+
+                vcm = _CM(ckpt_path, keep_best=False)
+                vae_params = vcm.restore_params(vae_params, ema=False)
+            self.first_stage = LatentAdapter(
+                vae, vae_params,
+                scale_factor=float(cfg.get("scale_factor", 0.18215)),
+                scale_by_std=bool(cfg.get("scale_by_std", False)),
+            )
+            z_ch = self.first_stage.z_channels
+            latent_ds = self.first_stage.downsample
+
         # ---- model
         model_params = dict(cfg.get_path("unet_config.params", {}) or {})
         for drop in ("image_size", "use_checkpoint", "legacy",
@@ -107,8 +144,14 @@ class Trainer:
                      "in_channels", "out_channels"):
             model_params.pop(drop, None)
         # attention_resolutions in the reference yaml are downsample rates
-        out_ch = int(cfg.get("output_ch", 1)) * (2 if learn_sigma else 1)
-        in_ch = 1 + n_cond
+        if self.first_stage is not None:
+            base_out = z_ch
+            in_ch = z_ch * (1 + n_cond)
+        else:
+            base_out = int(cfg.get("output_ch", 1))
+            in_ch = 1 + n_cond
+        self.base_out = base_out
+        out_ch = base_out * (2 if learn_sigma else 1)
         dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
         if model_name == "dsunet":
             model_params.setdefault("model_channels", 96)
@@ -146,7 +189,7 @@ class Trainer:
         # ---- state
         seed = int(cfg.get("seed", 2024))
         self.rng = jax.random.PRNGKey(seed)
-        H = int(cfg.get("init_size", cfg.get("image_size", 256)))
+        H = int(cfg.get("init_size", cfg.get("image_size", 256))) // latent_ds
         dummy_x = jnp.zeros((1, H, H, in_ch), jnp.float32)
         dummy_t = jnp.zeros((1,), jnp.float32)
         init_rng, self.rng = jax.random.split(self.rng)
@@ -198,6 +241,7 @@ class Trainer:
         self.sample_fn = make_sample_fn(
             self.model.apply, rsched, self.task, self.sampler_name, self.eta,
             clip_denoised=bool(cfg.get("clip_denoised", True)),
+            out_channels=self.base_out,
         )
         self.val_metrics = make_val_metrics()
 
@@ -270,6 +314,10 @@ class Trainer:
                 dev_batch = pmesh.shard_batch(self.mesh, {
                     "image": batch["image"], "target": batch["target"],
                 })
+                if self.first_stage is not None:
+                    enc_rng, step_rng = jax.random.split(step_rng)
+                    dev_batch = self.first_stage.encode_batch(
+                        dev_batch, enc_rng)
                 self.state, self.sampler_state, metrics = self.train_step(
                     self.state, self.sampler_state, dev_batch, step_rng
                 )
@@ -314,7 +362,12 @@ class Trainer:
                 batch["image"], pmesh.batch_sharding(self.mesh)
             )
             rng, srng = jax.random.split(rng)
+            if self.first_stage is not None:
+                rng, erng = jax.random.split(rng)
+                cond = self.first_stage.encode_cond(cond, erng)
             pred = self.sample_fn(self.state.ema_params, cond, srng)
+            if self.first_stage is not None:
+                pred = self.first_stage.decode_batch(pred)
             m = self.val_metrics(
                 pred, jnp.asarray(batch["target"]),
                 jnp.asarray(batch["valid"]),
@@ -360,8 +413,13 @@ class Trainer:
                 batch["image"], pmesh.batch_sharding(self.mesh)
             )
             rng, srng = jax.random.split(rng)
-            pred = jax.device_get(self.sample_fn(
-                self.state.ema_params, cond, srng))
+            if self.first_stage is not None:
+                rng, erng = jax.random.split(rng)
+                cond = self.first_stage.encode_cond(cond, erng)
+            pred = self.sample_fn(self.state.ema_params, cond, srng)
+            if self.first_stage is not None:
+                pred = self.first_stage.decode_batch(pred)
+            pred = jax.device_get(pred)
             asm.add_batch(batch["case"], batch["slice"], pred,
                           batch["valid"])
         for case in asm.cases():
