@@ -32,6 +32,8 @@ __all__ = [
     "ddim_sample_loop",
     "dpmpp_2m_sample_loop",
     "ddim_reverse_loop",
+    "plms_sample_loop",
+    "dynamic_threshold",
     "make_sampler",
 ]
 
@@ -264,11 +266,101 @@ def dpmpp_2m_sample_loop(
     return pmv.pred_x0
 
 
+def dynamic_threshold(x0: jnp.ndarray, ratio: float = 0.995,
+                      max_value: float = 1.0) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding of the x0 prediction.
+
+    Reference Disc_diff/guided_diffusion/sampler.py:379-403
+    (correcting_x0_fn='dynamic_thresholding', ratio 0.995): per-sample
+    s = max(quantile(|x0|, ratio), max_value); clip to [-s, s] and rescale.
+    Use as ``denoised_fn`` with clip_denoised=False.
+    """
+    B = x0.shape[0]
+    flat = jnp.abs(x0.reshape(B, -1))
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.maximum(s, max_value).reshape(B, *([1] * (x0.ndim - 1)))
+    return jnp.clip(x0, -s, s) / s * max_value
+
+
+def plms_sample_loop(
+    sched: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x_T: jnp.ndarray,
+    parameterization: str = "eps",
+    learn_sigma: bool = False,
+    clip_denoised: bool = True,
+):
+    """PLMS (pseudo linear multistep, Liu et al. 2022).
+
+    Re-design of reference ldm/models/diffusion/plms.py:118-244: 4th-order
+    Adams-Bashforth over eps predictions with the pseudo-improved-Euler
+    first step (second model eval at the midpoint). The first step runs
+    unrolled (it needs two model calls); the remaining steps run as a
+    ``lax.scan`` carrying the eps history ring, with where-masked 1st/2nd/
+    3rd-order fallbacks while the history fills.
+    """
+    T = sched.num_timesteps
+    sqrt_acp_prev, dir_coef, _ = _ddim_tables(sched, eta=0.0)
+    acp = sched.alphas_cumprod
+
+    def x_prev_from_eps(x, t, eps):
+        """DDIM eta=0 update using a given eps (plms get_x_prev_and_pred_x0)."""
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        x0 = process.predict_x0_from_eps(sched, x, tb, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            eps = process.predict_eps_from_x0(sched, x, tb, x0)
+        return sqrt_acp_prev[t] * x0 + dir_coef[t] * eps
+
+    def eps_at(x, t):
+        pmv = _model_pred(sched, denoise_fn, x, t, parameterization,
+                          learn_sigma, clip_denoised)
+        return pmv.eps
+
+    # ---- first step: pseudo improved Euler (plms.py:225-231)
+    x = x_T
+    t0 = T - 1
+    e_t = eps_at(x, t0)
+    x_prev_guess = x_prev_from_eps(x, t0, e_t)
+    e_t_next = eps_at(x_prev_guess, max(t0 - 1, 0))
+    e_prime = (e_t + e_t_next) / 2.0
+    x = x_prev_from_eps(x, t0, e_prime)
+    hist0 = jnp.stack([e_t, e_t, e_t, e_t])
+
+    class Carry(NamedTuple):
+        x: jnp.ndarray
+        hist: jnp.ndarray  # [4, ...] most-recent-first
+        n: jnp.ndarray     # history count
+
+    def body(carry: Carry, i):
+        t = T - 2 - i
+        e_t = eps_at(carry.x, t)
+        h = carry.hist
+        # Adams-Bashforth orders 2..4 (plms.py:233-240)
+        e2 = (3.0 * e_t - h[0]) / 2.0
+        e3 = (23.0 * e_t - 16.0 * h[0] + 5.0 * h[1]) / 12.0
+        e4 = (55.0 * e_t - 59.0 * h[0] + 37.0 * h[1] - 9.0 * h[2]) / 24.0
+        e_prime = jnp.where(
+            carry.n >= 3, e4, jnp.where(carry.n == 2, e3, e2)
+        )
+        x = x_prev_from_eps(carry.x, t, e_prime)
+        hist = jnp.stack([e_t, h[0], h[1], h[2]])
+        return Carry(x, hist, jnp.minimum(carry.n + 1, 3)), None
+
+    if T > 1:
+        carry, _ = jax.lax.scan(
+            body, Carry(x, hist0, jnp.asarray(1)), jnp.arange(T - 1)
+        )
+        x = carry.x
+    return x
+
+
 def make_sampler(name: str):
     """Sampler registry keyed like the reference's ``sampler_setting.sampler``
-    ('ddim' | 'dpm++' | 'ancestral'/'ddpm')."""
+    ('ddim' | 'plms' | 'dpm++' | 'ancestral'/'ddpm')."""
     table = {
         "ddim": ddim_sample_loop,
+        "plms": plms_sample_loop,
         "dpm++": dpmpp_2m_sample_loop,
         "dpm_solver++": dpmpp_2m_sample_loop,
         "ancestral": p_sample_loop,

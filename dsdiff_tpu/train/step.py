@@ -175,6 +175,8 @@ def make_sample_fn(
             return sampling.dpmpp_2m_sample_loop(
                 sched, denoise, x_T, **common
             )
+        if sampler == "plms":
+            return sampling.plms_sample_loop(sched, denoise, x_T, **common)
         if sampler in ("ancestral", "ddpm"):
             return sampling.p_sample_loop(
                 sched, denoise, x_T, loop_rng, **common

@@ -1,0 +1,97 @@
+"""Checkpoint weight surgery: adapt mismatched parameter shapes.
+
+Re-design of the reference's ``make_it_fit`` (ldm/models/diffusion/
+ddpm.py:220-262): when loading pretrained weights whose channel counts
+differ from the current model (e.g. SD 4-channel VAE weights into a
+1-channel medical model, autoencoder.py:111-120), each mismatched tensor is
+filled by cycling the source values along the mismatched axes so every
+target element gets a (repeated) source element, averaged by use count.
+
+Also provides ``init_from_ckpt``-style filtered loading with ignore-prefix
+lists (ddpm.py:210-218).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["fit_tensor", "make_it_fit", "filtered_load"]
+
+
+def fit_tensor(old: np.ndarray, new_shape: tuple) -> np.ndarray:
+    """Cycle source values into a differently-shaped target (ddpm.py:231-259
+    generalized to any rank: index modulo along each mismatched axis)."""
+    old = np.asarray(old)
+    if old.shape == tuple(new_shape):
+        return old.copy()
+    if old.ndim != len(new_shape):
+        # rank change: flatten-cycle
+        flat = old.reshape(-1)
+        out = np.take(flat, np.arange(int(np.prod(new_shape))) % flat.size)
+        return out.reshape(new_shape).astype(old.dtype)
+    idx = np.indices(new_shape)
+    src = tuple(idx[d] % old.shape[d] for d in range(old.ndim))
+    return old[src].astype(old.dtype)
+
+
+def make_it_fit(loaded_params, target_params):
+    """Shape-adapt a loaded param pytree onto the target's structure.
+
+    Keys present in both trees are kept (shape-adapted when mismatched);
+    target-only keys keep their fresh initialization; source-only keys are
+    dropped. Trees are matched by flattened key-path strings so minor
+    structural nesting differences survive.
+    """
+    t_flat = _flatten(target_params)
+    l_flat = _flatten(loaded_params)
+    out = {}
+    for k, tv in t_flat.items():
+        if k in l_flat:
+            out[k] = fit_tensor(np.asarray(l_flat[k]), tv.shape).astype(
+                np.asarray(tv).dtype
+            )
+        else:
+            out[k] = np.asarray(tv)
+    return _unflatten(out, target_params)
+
+
+def filtered_load(loaded_params, target_params,
+                  ignore_prefixes: Sequence[str] = ()):
+    """init_from_ckpt parity (ddpm.py:210-218): drop ignored key prefixes,
+    keep target init for anything missing or mismatched in shape."""
+    t_flat = _flatten(target_params)
+    l_flat = _flatten(loaded_params)
+    out = {}
+    for k, tv in t_flat.items():
+        lv = l_flat.get(k)
+        if (
+            lv is None
+            or any(k.startswith(p) for p in ignore_prefixes)
+            or np.asarray(lv).shape != np.asarray(tv).shape
+        ):
+            out[k] = np.asarray(tv)
+        else:
+            out[k] = np.asarray(lv)
+    return _unflatten(out, target_params)
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = leaf
+    return flat
+
+
+def _unflatten(flat: dict, template):
+    paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    treedef = jax.tree_util.tree_structure(template)
+    leaves = []
+    for path, _ in paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        leaves.append(flat[key])
+    return jax.tree_util.tree_unflatten(treedef, leaves)

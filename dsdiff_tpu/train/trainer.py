@@ -308,9 +308,25 @@ class Trainer:
         step_rng, self.rng = jax.random.split(self.rng)
         step = int(jax.device_get(self.state.step))
         done = False
+        # shannon-entropy warm-up curriculum (trainer_use_gaussian_diff
+        # :172-234 / train_util.py:217-228)
+        curriculum = None
+        warmup_steps = int(cfg.get("shannon_warmup_steps", 2000))
+        if cfg.get("shannon", False):
+            from ..data.curriculum import EntropyCurriculum
+
+            curriculum = EntropyCurriculum(
+                self.train_ds, seed=int(cfg.get("seed", 2024))
+            )
+            self._np_rng = np.random.default_rng(int(cfg.get("seed", 2024)))
         for epoch in range(num_epochs):
             t_ep = time.time()
             for batch in self.train_loader.epoch(epoch):
+                if curriculum is not None and step < warmup_steps:
+                    batch = curriculum.batch(
+                        self.train_loader.batch_size, step, warmup_steps,
+                        self._np_rng,
+                    )
                 dev_batch = pmesh.shard_batch(self.mesh, {
                     "image": batch["image"], "target": batch["target"],
                 })

@@ -1,1 +1,2 @@
+from . import logging, profiling
 from .logging import KVLogger, journal
