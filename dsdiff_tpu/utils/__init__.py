@@ -1,2 +1,2 @@
-from . import logging, profiling
+from . import logging, misc, profiling
 from .logging import KVLogger, journal
