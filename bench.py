@@ -20,6 +20,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: makes repeat bench runs skip the (slow)
+# first XLA compile when the backend supports executable serialization
+jax.config.update("jax_compilation_cache_dir", "/tmp/dsdiff_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FWD_PER_SEC = 100.0 / 9.0  # reference DDIM-100 ~9s/sample on V100
 
 STEPS = 50
