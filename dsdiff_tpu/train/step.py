@@ -51,6 +51,10 @@ class TaskConfig:
     disen_lambda: float = 0.5
     disen_temperature: float = 0.05
     elbo_lambda: float = 0.0  # extra VLB weighting (trainer_ds_diff 'elbo_w')
+    # classifier-free guidance: train-time condition dropout probability and
+    # inference guidance scale (1.0 = no guidance)
+    cond_dropout: float = 0.0
+    cfg_scale: float = 1.0
 
 
 def _denoiser(apply_fn: Callable, params, cond: jnp.ndarray | None,
@@ -82,9 +86,14 @@ def make_train_step(
         cond = batch["image"]
         B = x0.shape[0]
         rng = jax.random.fold_in(rng, state.step)
-        t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+        t_rng, n_rng, d_rng, c_rng = jax.random.split(rng, 4)
         t, weights = ss.sample_t(sampler_state, t_rng, B)
         noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+        if task.cond_dropout > 0:
+            keep = (
+                jax.random.uniform(c_rng, (B, 1, 1, 1)) >= task.cond_dropout
+            ).astype(cond.dtype)
+            cond = cond * keep
 
         def loss_fn(params):
             model_fn = _denoiser(
@@ -158,10 +167,24 @@ def make_sample_fn(
         x_T = jax.random.normal(x_rng, (B, H, W, out_ch), jnp.float32)
         raw = _denoiser(apply_fn, params, cond, train=False)
 
-        def denoise(x, t_model):
+        def denoise_cond(x, t_model):
             out = raw(x, t_model)
             # feature-returning models (DSUNet/DiscUNet) yield (out, aux)
             return out[0] if isinstance(out, tuple) else out
+
+        if task.cfg_scale != 1.0:
+            raw_u = _denoiser(apply_fn, params, jnp.zeros_like(cond),
+                              train=False)
+
+            def denoise_uncond(x, t_model):
+                out = raw_u(x, t_model)
+                return out[0] if isinstance(out, tuple) else out
+
+            denoise = sampling.cfg_wrap(
+                denoise_cond, denoise_uncond, task.cfg_scale
+            )
+        else:
+            denoise = denoise_cond
         common = dict(
             parameterization=task.parameterization,
             learn_sigma=task.learn_sigma,

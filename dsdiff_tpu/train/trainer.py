@@ -98,6 +98,10 @@ class Trainer:
             feature_kind=feature_kind if disen else None,
             disentangle_mode=disen or "eu",
             disen_lambda=float(cfg.get("contrast_lambda", 0.5)),
+            cond_dropout=float(cfg.get("cond_dropout", 0.0)),
+            cfg_scale=float(
+                (cfg.get("sampler_setting", {}) or {}).get("cfg_scale", 1.0)
+            ),
         )
 
         # ---- first stage (latent pipeline)
@@ -232,11 +236,15 @@ class Trainer:
         self.sample_steps = int(samp.get("sample_steps", 20))
         self.sampler_name = samp.get("sampler", "ddim")
         self.eta = float(samp.get("ddim_eta", 0.0))
-        rsched = schedules.respace(
-            self.betas,
-            schedules.space_timesteps(T, str(self.sample_steps)),
-            rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
-        )
+        if bool(samp.get("ddim_use_original_steps", False)):
+            # full-schedule sampling (ddim.py:107 ddim_use_original_steps)
+            rsched = self.sched
+        else:
+            rsched = schedules.respace(
+                self.betas,
+                schedules.space_timesteps(T, str(self.sample_steps)),
+                rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
+            )
         self.rsched = rsched
         self.sample_fn = make_sample_fn(
             self.model.apply, rsched, self.task, self.sampler_name, self.eta,
@@ -258,11 +266,17 @@ class Trainer:
         image_size = int(cfg.get("image_size", 256))
         split = f"images_tr_{image_size}"
         cases = h5store.list_cases(root / split)
-        fold_k = int(cfg.get("fold_K", 5))
-        fold_idx = int(cfg.get("fold_idx", 1))
-        train_cases, val_cases = h5store.kfold_split(
-            cases, fold_k, fold_idx % fold_k, seed=int(cfg.get("seed", 2024))
-        )
+        val_split = cfg.get("val_split")  # BraTS variant: explicit val dir
+        if val_split:
+            train_cases = cases
+            val_cases = None  # all cases of the explicit split
+        else:
+            fold_k = int(cfg.get("fold_K", 5))
+            fold_idx = int(cfg.get("fold_idx", 1))
+            train_cases, val_cases = h5store.kfold_split(
+                cases, fold_k, fold_idx % fold_k,
+                seed=int(cfg.get("seed", 2024)),
+            )
         common = dict(
             root=root, split=split, keys=self.keys,
             use_edge=cfg.get("use_edge", False) or False,
@@ -271,7 +285,14 @@ class Trainer:
             cases=train_cases, augment=True,
             aug_prob=float(cfg.get("augmentation_prob", 0.4)), **common,
         )
-        self.val_ds = SliceDataset(cases=val_cases, augment=False, **common)
+        if val_split:
+            vcommon = dict(common)
+            vcommon["split"] = val_split
+            self.val_ds = SliceDataset(cases=None, augment=False, **vcommon)
+            val_cases = self.val_ds.cases
+        else:
+            self.val_ds = SliceDataset(cases=val_cases, augment=False,
+                                       **common)
         bs = int(cfg.get("train_batch_size", 8))
         vbs = int(cfg.get("val_batch_size", bs))
         n_data = int(self.mesh.shape["data"])
