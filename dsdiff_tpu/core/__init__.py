@@ -1,2 +1,2 @@
-from . import losses, palette, process, sampling, schedules
+from . import composite_loss, losses, palette, process, sampling, schedules
 from .schedules import DiffusionSchedule, make_beta_schedule, respace, space_timesteps

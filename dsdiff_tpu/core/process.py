@@ -45,6 +45,7 @@ __all__ = [
     "p_mean_variance",
     "vb_terms_bpd",
     "training_losses",
+    "lvlb_weights",
     "prior_bpd",
 ]
 
@@ -253,6 +254,7 @@ def training_losses(
     learn_sigma: bool = False,
     vlb_weight: float = 1.0,
     charbonnier_eps: float = 1e-3,
+    elbo_weight: float = 0.0,
 ):
     """Per-batch-element diffusion training loss.
 
@@ -311,8 +313,29 @@ def training_losses(
     else:
         raise ValueError(f"unknown loss_type {loss_type}")
 
-    terms["loss"] = terms["mse"] + terms.get("vb", 0.0)
+    if elbo_weight > 0:
+        # the LDM-math variant adds elbo_w * lvlb_weights[t] * loss_simple
+        # (reference ddpm.py:186-192 lvlb_weights, trainer_ds_diff.py:606-614)
+        lvlb_w = lvlb_weights(sched, parameterization)[t]
+        terms["elbo"] = elbo_weight * lvlb_w * terms["mse"]
+    terms["loss"] = (
+        terms["mse"] + terms.get("vb", 0.0) + terms.get("elbo", 0.0)
+    )
     return terms, aux
+
+
+def lvlb_weights(sched: DiffusionSchedule,
+                 parameterization: str = "eps") -> jnp.ndarray:
+    """Per-timestep VLB weights (reference ddpm.py:180-192): for eps,
+    beta^2 / (2 post_var alpha (1-acp)); for v, ones; t=0 copied from t=1."""
+    if parameterization == "v":
+        return jnp.ones_like(sched.betas)
+    alphas = 1.0 - sched.betas
+    w = sched.betas**2 / (
+        2.0 * sched.posterior_variance * alphas
+        * (1.0 - sched.alphas_cumprod)
+    )
+    return w.at[0].set(w[1])
 
 
 def prior_bpd(sched: DiffusionSchedule, x0):

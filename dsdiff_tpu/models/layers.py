@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "timestep_embedding",
+    "ModulatedResBlock",
     "TimeEmbed",
     "GroupNorm32",
     "ResBlock",
@@ -225,3 +226,42 @@ class SEBlock(nn.Module):
         s = nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc2")(s)
         s = nn.sigmoid(s)
         return x * s[:, None, None, :]
+
+
+class ModulatedResBlock(nn.Module):
+    """ResBlock with dual FiLM: timestep embedding modulates the in-norm,
+    an external context map modulates the out-norm.
+
+    Reference ResBlockModulate (openaimodel.py:311-425): emb scale/shift on
+    in_norm, context [B, ..., 2*out_ch] scale/shift on out_norm — the
+    structure/edge-guidance injection point of the SD UNet variant.
+    """
+
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, context):
+        C = x.shape[-1]
+        out_ch = self.out_channels or C
+        emb_out = nn.Dense(2 * C, dtype=self.dtype, name="emb_proj")(
+            nn.silu(emb)
+        )[:, None, None, :]
+        e_scale, e_shift = jnp.split(emb_out, 2, axis=-1)
+        h = GroupNorm32(dtype=self.dtype, name="in_norm")(x)
+        h = h * (1.0 + e_scale) + e_shift
+        h = nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_conv")(h)
+        c_scale, c_shift = jnp.split(context.astype(h.dtype), 2, axis=-1)
+        h = GroupNorm32(dtype=self.dtype, name="out_norm")(h)
+        h = h * (1.0 + c_scale) + c_shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=self.deterministic)
+        h = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=zero_init(),
+                    dtype=self.dtype, name="out_conv")(h)
+        if C != out_ch:
+            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h

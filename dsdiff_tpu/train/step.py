@@ -106,6 +106,7 @@ def make_train_step(
                 loss_type=task.loss_type,
                 learn_sigma=task.learn_sigma,
                 vlb_weight=task.vlb_weight,
+                elbo_weight=task.elbo_lambda,
             )
             loss = jnp.mean(weights * terms["loss"])
             metrics = {

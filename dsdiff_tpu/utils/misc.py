@@ -10,7 +10,8 @@ import sys
 
 import numpy as np
 
-__all__ = ["tensor2im", "ImagePool", "heatmap_to_rgb", "print_progress_bar"]
+__all__ = ["tensor2im", "ImagePool", "heatmap_to_rgb",
+           "print_progress_bar", "count_params"]
 
 
 def tensor2im(arr: np.ndarray, imtype=np.uint8) -> np.ndarray:
@@ -76,3 +77,13 @@ def print_progress_bar(iteration: int, total: int, content: str = "",
     if iteration >= total:
         stream.write("\n")
     stream.flush()
+
+
+def count_params(params, verbose: bool = False) -> int:
+    """Total parameter count (ldm/util.py:75-80 count_params)."""
+    import jax
+
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    if verbose:
+        print(f"{n / 1e6:.2f}M parameters")
+    return n

@@ -232,3 +232,71 @@ def test_vae_gan_steps():
     ds, dm = d_step(ds, vs.params, batch, rng)
     assert np.isfinite(float(dm["disc_loss"]))
     assert int(vs.step) == 1 and int(ds.step) == 1
+
+
+def test_modulated_resblock():
+    from dsdiff_tpu.models.layers import ModulatedResBlock
+
+    m = ModulatedResBlock(out_channels=16)
+    x = jnp.zeros((2, 8, 8, 8))
+    emb = jnp.ones((2, 32))
+    ctx = jnp.zeros((2, 8, 8, 32))
+    p = m.init(jax.random.PRNGKey(0), x, emb, ctx)
+    out = m.apply(p, x, emb, ctx)
+    assert out.shape == (2, 8, 8, 16)
+    # zero-init out conv + zero x + 1x1 skip of zeros -> output zero
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_npy_dataset_and_cache(tmp_path):
+    from dsdiff_tpu.data import h5store
+    from dsdiff_tpu.data.npy_dataset import NpyVolumeDataset, build_volume_cache
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        for i in range(4):
+            h5store.write_slice(
+                tmp_path / "h5" / "images_tr_16" / f"c{c}" / f"layer_{i}.h5",
+                {k: rng.normal(size=(16, 16)).astype(np.float32)
+                 for k in ("t1", "ce")},
+            )
+    paths = build_volume_cache(tmp_path / "h5", "images_tr_16",
+                               ["t1", "ce"], tmp_path / "npy")
+    ds = NpyVolumeDataset(paths, gt_key="ce", slice_range=(1, 6),
+                          pad_to=16)
+    assert len(ds) == 5
+    row = ds.get(0, np.random.default_rng(1))
+    assert row["image"].shape == (16, 16, 1)
+    assert row["target"].shape == (16, 16, 1)
+
+
+def test_lvlb_weights():
+    from dsdiff_tpu.core.process import lvlb_weights, training_losses
+    from dsdiff_tpu.core.schedules import DiffusionSchedule
+
+    s = DiffusionSchedule.named("linear", 50)
+    w = lvlb_weights(s, "eps")
+    assert w.shape == (50,)
+    assert float(w[0]) == float(w[1])  # t=0 copied from t=1
+    assert np.all(np.isfinite(np.asarray(w)))
+    np.testing.assert_allclose(np.asarray(lvlb_weights(s, "v")), 1.0)
+    # elbo term appears in training losses
+    x0 = jnp.zeros((2, 8, 8, 1))
+    noise = jnp.ones_like(x0)
+    terms, _ = training_losses(
+        s, lambda xt, tm: jnp.zeros_like(xt), x0, jnp.array([0, 10]), noise,
+        parameterization="eps", loss_type="l2", elbo_weight=0.1,
+    )
+    assert "elbo" in terms
+
+
+def test_composite_distance():
+    from dsdiff_tpu.core.composite_loss import composite_distance
+
+    fn = composite_distance({"l1": 1.0, "l2": 2.0})
+    v = float(fn(jnp.zeros((1, 16, 16, 1)), jnp.ones((1, 16, 16, 1))))
+    np.testing.assert_allclose(v, 1.0 + 2.0, rtol=1e-6)
+    fn2 = composite_distance({"ssim": 1.0})
+    x = jnp.broadcast_to(
+        jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32, 1), (1, 32, 32, 1))
+    assert float(fn2(x, x)) < 1e-5
