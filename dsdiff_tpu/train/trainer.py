@@ -47,6 +47,8 @@ FEATURE_KINDS = {
     "ddpm": ("unet", None),
     "dit": ("dit", None),
     "latent": ("unet", None),
+    "palette": ("unet", None),
+    "diffusion": ("unet", None),  # the reference's trainer_diffusion name
 }
 
 
@@ -231,11 +233,15 @@ class Trainer:
         self.sampler_state = jax.device_put(self.sampler_state, rep)
 
         # ---- steps
-        self.train_step = make_train_step(self.task, self.sched)
         samp = cfg.get("sampler_setting", {}) or {}
         self.sample_steps = int(samp.get("sample_steps", 20))
         self.sampler_name = samp.get("sampler", "ddim")
         self.eta = float(samp.get("ddim_eta", 0.0))
+        self.palette = net_mode in ("palette", "diffusion")
+        if self.palette:
+            self._setup_palette_steps(cfg)
+        else:
+            self.train_step = make_train_step(self.task, self.sched)
         if bool(samp.get("ddim_use_original_steps", False)):
             # full-schedule sampling (ddim.py:107 ddim_use_original_steps)
             rsched = self.sched
@@ -246,11 +252,13 @@ class Trainer:
                 rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
             )
         self.rsched = rsched
-        self.sample_fn = make_sample_fn(
-            self.model.apply, rsched, self.task, self.sampler_name, self.eta,
-            clip_denoised=bool(cfg.get("clip_denoised", True)),
-            out_channels=self.base_out,
-        )
+        if not self.palette:
+            self.sample_fn = make_sample_fn(
+                self.model.apply, rsched, self.task, self.sampler_name,
+                self.eta,
+                clip_denoised=bool(cfg.get("clip_denoised", True)),
+                out_channels=self.base_out,
+            )
         self.val_metrics = make_val_metrics()
 
         self.ckpt = CheckpointManager(
@@ -474,3 +482,74 @@ class Trainer:
                 report_path=out_dir / "metrics.csv",
             )
         return out_dir, rows
+
+    # ------------------------------------------------------- palette variant
+    def _setup_palette_steps(self, cfg):
+        """Gamma-conditioned Palette/SR3 pipeline (trainer_diffusion parity):
+        separate train/test schedules, gamma noise-level conditioning (the
+        denoiser sees gamma*1000 through its timestep embedding), inline
+        DDIM/ancestral sampling via core.palette."""
+        from ..core import palette as P
+        from .state import TrainState as _TS
+
+        train_cfg = dict(cfg.get_path("palette.train_schedule", {}) or {})
+        test_cfg = dict(cfg.get_path("palette.test_schedule", {}) or {})
+        self.gs_train = P.GammaSchedule.create(
+            n_timestep=int(train_cfg.get("n_timestep", 2000)),
+            linear_start=float(train_cfg.get("linear_start", 1e-6)),
+            linear_end=float(train_cfg.get("linear_end", 0.01)),
+        )
+        self.gs_test = P.GammaSchedule.create(
+            n_timestep=int(test_cfg.get("n_timestep", 1000)),
+            linear_start=float(test_cfg.get("linear_start", 1e-4)),
+            linear_end=float(test_cfg.get("linear_end", 0.09)),
+        )
+        apply_fn = self.model.apply
+
+        def model_fn(params, x, gamma):
+            return apply_fn(params, x, gamma * 1000.0)
+
+        gs = self.gs_train
+
+        def step(state, sampler_state, batch, rng):
+            x0 = batch["target"]
+            cond = batch["image"]
+            B = x0.shape[0]
+            rng = jax.random.fold_in(rng, state.step)
+            t_rng, n_rng = jax.random.split(rng)
+            t = jax.random.randint(t_rng, (B,), 0, gs.num_timesteps)
+            noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+
+            def loss_fn(params):
+                from ..core import palette as PP
+
+                loss = PP.training_loss(
+                    gs, lambda x, g: model_fn(params, x, g), x0, cond, t,
+                    noise,
+                )
+                return loss, {"loss": loss, "loss_simple": loss}
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads)
+            return new_state, sampler_state, metrics
+
+        self.train_step = jax.jit(step, donate_argnums=(0,))
+        ddim_steps = self.sample_steps
+        use_ddim = self.sampler_name == "ddim"
+        gs_test = self.gs_test
+
+        def sample(params, cond, rng):
+            fn = lambda x, g: model_fn(params, x, g)
+            if use_ddim:
+                from ..core import palette as PP
+
+                return PP.ddim_sample_loop(
+                    gs_test, fn, cond, rng, ddim_steps=ddim_steps,
+                    eta=self.eta,
+                )
+            from ..core import palette as PP
+
+            return PP.p_sample_loop(gs_test, fn, cond, rng)
+
+        self.sample_fn = jax.jit(sample)
