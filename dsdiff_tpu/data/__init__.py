@@ -1,3 +1,4 @@
-from . import curriculum, h5store, nifti, npy_dataset, pipeline, preprocess, transforms
+from . import (curriculum, h5store, nifti, nnunet_export, npy_dataset,
+               pipeline, preprocess, transforms)
 from .nifti import Nifti, read_nifti, write_nifti
 from .pipeline import BatchLoader, SliceDataset

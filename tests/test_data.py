@@ -149,3 +149,48 @@ def test_crop_brats():
     assert out["t1"].data.shape == (16, 16, 4)
     assert out["seg"].data.max() == 1
     assert out["t1"].data.min() >= -1.0 and out["t1"].data.max() <= 1.0
+
+
+def test_nnunet_export(tmp_path):
+    from dsdiff_tpu.data.nnunet_export import export_nnunet_raw
+
+    vols = {}
+    for case in ("a", "b"):
+        p = tmp_path / f"{case}.nii.gz"
+        write_nifti(p, Nifti(np.zeros((4, 4, 2), np.float32)))
+        vols[case] = p
+    out = export_nnunet_raw(vols, tmp_path / "nnunet", "Task500_x")
+    assert (out / "imagesTr" / "Task500_x_a_0000.nii.gz").exists()
+    assert (out / "dataset.json").exists()
+
+
+def test_unclip_adm_conditioning_path():
+    """UNet 'crossattn-adm' capability: vector conditioning from a noise-
+    augmented embedding (ImageEmbeddingConditionedLatentDiffusion parity,
+    ddpm.py:1860-1930)."""
+    import jax
+    import jax.numpy as jnp
+    from dsdiff_tpu.core.schedules import DiffusionSchedule
+    from dsdiff_tpu.models import UNet, EmbeddingNoiseAugmentation, \
+        conditioned_call
+
+    sched = DiffusionSchedule.named("linear", 100)
+    aug = EmbeddingNoiseAugmentation(sched, max_noise_level=50)
+    emb = jnp.ones((2, 32))
+    noisy_emb, level = aug(emb, jax.random.PRNGKey(0))
+
+    m = UNet(in_channels=1, out_channels=1, model_channels=8,
+             num_res_blocks=1, channel_mult=(1, 2),
+             attention_resolutions=(2,), num_heads=2,
+             use_spatial_transformer=True, context_dim=8,
+             adm_in_channels=32)
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 4, 8))
+    params = m.init(jax.random.PRNGKey(0), x, t, ctx, noisy_emb)
+    out = conditioned_call(
+        lambda xx, tt, cc=None, y=None: m.apply(params, xx, tt, cc, y),
+        "crossattn-adm", x, t,
+        {"c_crossattn": [ctx], "c_adm": noisy_emb},
+    )
+    assert out.shape == (2, 16, 16, 1)
