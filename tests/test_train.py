@@ -142,3 +142,88 @@ def test_end_to_end_fit_predict_resume(tmp_path):
     assert int(jax.device_get(tr2.state.step)) == step
     tr.ckpt.close()
     tr2.ckpt.close()
+
+
+@pytest.mark.slow
+def test_latent_pipeline_e2e(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=32)
+    cfg = Config.wrap(dict(
+        net_mode="latent", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=32,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=False, parameterization="eps",
+        disentangle_distance=None, scale_by_std=True,
+        first_stage={"params": {"ch": 8, "ch_mult": [1, 2],
+                                "num_res_blocks": 1, "z_channels": 2,
+                                "embed_dim": 2}},
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    assert tr.first_stage is not None
+    assert tr.in_ch == 2 * (1 + 1)  # z*(1+n_cond)
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=1)
+    out_dir, _ = tr.predict()
+    preds = list(out_dir.glob("*_pred.nii.gz"))
+    assert len(preds) == 4
+    # decoded predictions are image-resolution
+    from dsdiff_tpu.data.nifti import read_nifti
+    vol = read_nifti(preds[0])
+    assert vol.data.shape[0] == 32
+    tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_vae_gan_loop(tmp_path):
+    from dsdiff_tpu.train.vae_loop import VaeTrainer
+
+    data = _tiny_dataset(tmp_path, hw=16)
+    cfg = Config.wrap(dict(
+        train_keys=["A", "B"], h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, num_epochs=1, lr=1e-4, seed=0, bf16=False,
+        disc_start=0, perceptual_weight=0.0, disc_channels=8,
+        disc_num_layers=2,
+        first_stage={"params": {"ch": 8, "ch_mult": [1, 2],
+                                "num_res_blocks": 1, "z_channels": 2,
+                                "embed_dim": 2}},
+    ))
+    t = VaeTrainer(cfg, tmp_path / "run")
+    step = t.fit(max_steps=2, log_every=1)
+    assert step == 2
+    assert t.ckpt.latest_step() == 2
+    t.ckpt.close()
+
+
+@pytest.mark.slow
+def test_palette_pipeline_e2e(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16)
+    cfg = Config.wrap(dict(
+        net_mode="palette", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        disentangle_distance=None,
+        palette={"train_schedule": {"n_timestep": 20},
+                 "test_schedule": {"n_timestep": 10}},
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=1)
+    assert step == 2
+    tr.ckpt.close()
