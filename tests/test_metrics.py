@@ -100,3 +100,44 @@ def test_assembler_and_report(tmp_path):
     rp = write_metric_report(rows, tmp_path / "m.csv")
     text = rp.read_text()
     assert "mean,25.0" in text
+
+
+def test_vifp_properties():
+    from dsdiff_tpu.eval.fid import vifp
+
+    img = RNG.uniform(0, 255, (64, 64))
+    assert vifp(img, img) == pytest.approx(1.0, abs=1e-6)
+    noisy = img + RNG.normal(0, 30, img.shape)
+    v = vifp(img, noisy)
+    assert 0.0 < v < 1.0
+    # volume form
+    vol = RNG.uniform(0, 255, (64, 64, 3))
+    assert vifp(vol, vol) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_frechet_distance_golden():
+    from dsdiff_tpu.eval.fid import FeatureStats, frechet_distance
+
+    # identical Gaussians -> 0
+    mu = np.zeros(4); cov = np.eye(4)
+    assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-6)
+    # mean shift d in all dims -> ||d||^2
+    mu2 = np.full(4, 2.0)
+    assert frechet_distance(mu, cov, mu2, cov) == pytest.approx(16.0, abs=1e-5)
+    # streaming stats match numpy
+    X = RNG.normal(size=(500, 4))
+    st = FeatureStats(4)
+    st.update(X[:250]); st.update(X[250:])
+    np.testing.assert_allclose(st.mean, X.mean(0), atol=1e-10)
+    np.testing.assert_allclose(st.cov, np.cov(X.T), atol=1e-8)
+
+
+def test_fid_discriminates():
+    from dsdiff_tpu.eval.fid import fid
+
+    real = RNG.uniform(-1, 1, (24, 32, 32, 1)).astype(np.float32)
+    same = real + RNG.normal(0, 0.01, real.shape).astype(np.float32)
+    diff = RNG.normal(0, 1, real.shape).astype(np.float32).clip(-1, 1)
+    f_same = fid(real, same)
+    f_diff = fid(real, diff)
+    assert f_same < f_diff
