@@ -30,14 +30,19 @@ _BK = 512
 
 
 def supports(q, k, v) -> bool:
-    """Tile-alignment gate: fall back to XLA for odd shapes."""
+    """Shape gate: use Pallas only where it beats XLA.
+
+    Measured on v5e (scripts/kernel_bench.py): 1.2-1.3x faster at N=1024
+    (the 256^2 workload's /8 and /16 attention), slower at N<=256 (kernel
+    launch dominates) and N>=4096 (XLA's blocking wins there).
+    """
     B, N, H, D = q.shape
     M = k.shape[1]
     if D % 8 or D > 256:
         return False
     if N % 128 or M % 128:
         return False
-    return True
+    return 512 <= N <= 2048 and 512 <= M <= 2048
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):

@@ -35,8 +35,9 @@ def supports(x, num_groups: int) -> bool:
 
 
 def _affine_silu_kernel(x_ref, a_ref, b_ref, o_ref):
+    b = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)  # [chunk, C]
-    y = x * a_ref[0] + b_ref[0]
+    y = x * a_ref[b] + b_ref[b]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -65,9 +66,12 @@ def group_norm_silu(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
         in_specs=[
             pl.BlockSpec((1, chunk, C), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i, j: (i, 0),
+            # full [B, C] coefficient tables resident in VMEM, indexed by
+            # the batch program id (a [1, C] block would violate the
+            # (8, 128) sublane tiling rule for B not divisible by 8)
+            pl.BlockSpec((B, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i, j: (i, 0),
+            pl.BlockSpec((B, C), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, chunk, C), lambda i, j: (i, j, 0),

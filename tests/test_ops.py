@@ -49,7 +49,7 @@ def test_flash_attention_interpret_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
 
     # run the flash kernel in interpret mode by monkeypatching pallas_call
-    B, N, Hh, D = 1, 256, 2, 64
+    B, N, Hh, D = 1, 512, 2, 64
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(k1, (B, N, Hh, D))
     k = jax.random.normal(k2, (B, N, Hh, D))
@@ -76,5 +76,9 @@ def test_flash_attention_supports_gate():
 
     bad = jnp.zeros((1, 100, 2, 64))  # N not /128
     assert not fa.supports(bad, bad, bad)
-    bad2 = jnp.zeros((1, 128, 2, 300))  # D too large
+    bad2 = jnp.zeros((1, 1024, 2, 300))  # D too large
     assert not fa.supports(bad2, bad2, bad2)
+    small = jnp.zeros((1, 256, 2, 64))  # below the measured win region
+    assert not fa.supports(small, small, small)
+    good = jnp.zeros((1, 1024, 2, 64))
+    assert fa.supports(good, good, good)
