@@ -273,8 +273,15 @@ def ms_ssim_volume(true, pred, mask=None) -> float:
     # sitk arrays are [z, y, x] sliced over axis 0 — same slices)
     tb = np.ascontiguousarray(np.moveaxis(t, -1, 0))
     pb = np.ascontiguousarray(np.moveaxis(p, -1, 0))
+    # adapt the scale count to the in-plane size (each scale halves; the
+    # 11x11 window must fit at the coarsest scale)
+    min_hw = min(tb.shape[1], tb.shape[2])
+    levels = 1
+    while levels < 5 and (min_hw >> levels) >= 11:
+        levels += 1
     vals = ms_ssim(
-        jnp.asarray(tb, jnp.float32), jnp.asarray(pb, jnp.float32), data_range
+        jnp.asarray(tb, jnp.float32), jnp.asarray(pb, jnp.float32),
+        data_range, levels=levels,
     )
     return float(jnp.mean(vals))
 
