@@ -30,8 +30,14 @@ _CHUNK = 1024  # spatial rows per VMEM tile
 
 
 def supports(x, num_groups: int) -> bool:
+    """Measured win region on v5e (scripts/kernel_bench.py): the fused
+    kernel beats XLA at small spatial extents with wide channels (1.27x at
+    64^2 x 192); XLA's own fusion wins at large spatial (0.65x at
+    256^2 x 96). Gate accordingly."""
     B, H, W, C = x.shape
-    return C % num_groups == 0 and (H * W) % 8 == 0
+    if C % num_groups or (H * W) % 8:
+        return False
+    return H * W <= 64 * 64 and C >= 128
 
 
 def _affine_silu_kernel(x_ref, a_ref, b_ref, o_ref):
