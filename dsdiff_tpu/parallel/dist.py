@@ -77,10 +77,9 @@ def sync_hosts(tag: str = "barrier") -> None:
     """Cross-host barrier (replaces dist.barrier, train_util.py:328)."""
     if jax.process_count() == 1:
         return
-    # a tiny psum over all devices acts as a barrier
-    x = jnp_ones = np.ones((jax.local_device_count(),), np.float32)
-    out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(jnp_ones)
-    jax.block_until_ready(out)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
 
 
 def all_gather_host(value: np.ndarray) -> np.ndarray:
