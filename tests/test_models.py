@@ -127,3 +127,46 @@ def test_attention_fallback_matches_reference_softmax():
     s = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(8)
     ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(s, axis=-1), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dsunet_2ch_equals_zero_padded_4ch():
+    """The 2-channel fallback (model.py:652-657) must equal a 4-channel
+    input whose al/l streams are zero."""
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    rng = jax.random.PRNGKey(1)
+    x2 = jax.random.normal(rng, (2, 32, 32, 2))
+    x4 = jnp.concatenate([x2, jnp.zeros((2, 32, 32, 2))], axis=-1)
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.PRNGKey(0), x4, t)
+    o2, f2 = m.apply(params, x2, t)
+    o4, f4 = m.apply(params, x4, t)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o4), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f2["style"]), np.asarray(f4["style"]), atol=1e-6
+    )
+
+
+def test_dsunet_stream_routing():
+    """Stream->head routing (model.py:694-712): the anatomy head sees only
+    the a/al streams, the lesion head only al/l. Perturbing the anatomy
+    channel must change the anatomy features but leave the lesion features
+    untouched, and vice versa."""
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.normal(rng, (1, 32, 32, 4))
+    t = jnp.zeros((1,))
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    _, base = m.apply(params, x, t)
+
+    _, f_a = m.apply(params, x.at[..., 1].add(0.5), t)  # perturb anatomy
+    assert float(jnp.abs(f_a["anatomy"] - base["anatomy"]).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(f_a["lesion"][1]), np.asarray(base["lesion"][1]),
+        atol=1e-6,  # the l-stream lesion feature never sees stream a
+    )
+
+    _, f_l = m.apply(params, x.at[..., 3].add(0.5), t)  # perturb lesion
+    assert float(jnp.abs(f_l["lesion"] - base["lesion"]).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(f_l["anatomy"]), np.asarray(base["anatomy"]), atol=1e-6
+    )
