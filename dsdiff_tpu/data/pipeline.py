@@ -177,8 +177,9 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     q.put(self._make_batch(epoch, b, idxs))
-            finally:
                 q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -187,6 +188,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
