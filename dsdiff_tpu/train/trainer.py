@@ -348,6 +348,9 @@ class Trainer:
                 self.train_ds, seed=int(cfg.get("seed", 2024))
             )
             self._np_rng = np.random.default_rng(int(cfg.get("seed", 2024)))
+        n_chips = int(self.mesh.devices.size)
+        t_rate = time.time()
+        steps_at_rate = step
         for epoch in range(num_epochs):
             t_ep = time.time()
             for batch in self.train_loader.epoch(epoch):
@@ -370,6 +373,14 @@ class Trainer:
                 if step % log_every == 0:
                     m = {k: float(v) for k, v in
                          jax.device_get(metrics).items()}
+                    dt = time.time() - t_rate
+                    if dt > 0 and step > steps_at_rate:
+                        # BASELINE.json first-class metric
+                        m["steps_per_sec_per_chip"] = (
+                            (step - steps_at_rate) / dt / n_chips
+                        )
+                    t_rate = time.time()
+                    steps_at_rate = step
                     m["step"] = step
                     m["epoch"] = epoch
                     for k, v in m.items():
