@@ -75,16 +75,24 @@ def run(batch, repeats=3):
         out = sample_fn(params, cond, jax.random.fold_in(rng, i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / repeats
-    return dt
+    flops = None
+    try:
+        ca = sample_fn.lower(params, cond, rng).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+    return dt, flops
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     candidates = [batch] if batch else [16, 8, 4, 2, 1]
-    dt, used_batch = None, None
+    dt, used_batch, flops = None, None, None
     for b in candidates:
         try:
-            dt = run(b)
+            dt, flops = run(b)
             used_batch = b
             break
         except Exception as e:  # OOM fallback to smaller batch
@@ -97,6 +105,11 @@ def main():
 
     steps_per_sec = STEPS * used_batch / dt
     slices_per_sec = used_batch / dt
+    extras = {}
+    if flops:
+        tflops = flops / dt / 1e12
+        extras = {"achieved_tflops": round(tflops, 2),
+                  "graph_gflops": round(flops / 1e9, 1)}
     print(json.dumps({
         "metric": "dsunet_256_ddim50_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
@@ -107,6 +120,7 @@ def main():
         "sample_latency_s": round(dt, 3),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

@@ -1,7 +1,9 @@
 """Experiment: pre-cast params to bf16 for the sampling loop.
 
-If XLA does not hoist the per-step f32->bf16 weight casts out of the DDIM
-scan, casting once outside saves ~params_bytes x steps of HBM traffic.
+RESULT (v5e, 256^2 DDIM-50 batch 16): bf16 params are ~5x SLOWER
+(26 vs 141 fwd/s) — XLA's handling of f32 params + bf16 compute dtype is
+already optimal (casts fused/hoisted), while all-bf16 parameter inputs push
+some ops onto slower paths. Keep f32 master params.
 """
 import sys
 import time
