@@ -63,14 +63,18 @@ class EntropyCurriculum:
         """Truncated-normal draw over buckets (_extract_batch,
         train_util.py:192-215)."""
         mean = self.mean_at(step, warmup_steps)
-        a = (self.lowest - mean) / self.sd
-        b = (self.highest - mean) / self.sd
-        draws = np.round(
-            sstats.truncnorm.rvs(
-                a, b, loc=mean, scale=self.sd, size=batch_size,
-                random_state=rng,
+        if self.highest <= self.lowest:
+            # degenerate: every slice in one entropy bucket
+            draws = np.full(batch_size, self.lowest)
+        else:
+            a = (self.lowest - mean) / self.sd
+            b = (self.highest - mean) / self.sd
+            draws = np.round(
+                sstats.truncnorm.rvs(
+                    a, b, loc=mean, scale=self.sd, size=batch_size,
+                    random_state=rng,
+                )
             )
-        )
         out: list[int] = []
         for val, count in zip(*np.unique(draws, return_counts=True)):
             bucket = self.buckets.get(float(val))

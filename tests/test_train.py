@@ -227,3 +227,85 @@ def test_palette_pipeline_e2e(tmp_path):
                   val_every_epochs=1)
     assert step == 2
     tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_disc_diff_pipeline_e2e(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16, keys=("t1", "t2", "dwi", "ce"))
+    cfg = Config.wrap(dict(
+        net_mode="disc_diff", train_keys=["t1", "t2", "dwi", "ce"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=True, parameterization="eps",
+        disentangle_distance="eu", contrast_lambda=0.1,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1,
+                                "use_scale_shift_norm": True}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "dpm++", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=1)
+    assert step == 2
+    # com/dist disentangle metric present
+    logs = (tmp_path / "run" / "logs" / "progress.jsonl").read_text()
+    assert "loss_disen" in logs
+    tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_dit_pipeline_e2e(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16)
+    cfg = Config.wrap(dict(
+        net_mode="dit", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=16, init_size=32,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=False, parameterization="eps",
+        disentangle_distance=None,
+        ViT_config={"params": {"input_size": 32, "patch_size": 8,
+                               "hidden_size": 32, "depth": 1,
+                               "num_heads": 2}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=10**9)
+    assert step == 2
+    tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_shannon_curriculum_warmup_e2e(tmp_path):
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16)
+    cfg = Config.wrap(dict(
+        net_mode="ddpm", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, parameterization="eps",
+        disentangle_distance=None,
+        shannon=True, shannon_warmup_steps=1,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=10**9)
+    assert step == 2
+    tr.ckpt.close()
