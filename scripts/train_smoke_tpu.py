@@ -50,10 +50,11 @@ def make_synthetic(root: Path, n_cases=8, n_slices=8, hw=64, seed=0):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    net_mode = sys.argv[2] if len(sys.argv) > 2 else "ddpm"
     tmp = Path(tempfile.mkdtemp(prefix="dsdiff_smoke_"))
     make_synthetic(tmp)
     cfg = Config.wrap(dict(
-        net_mode="ddpm",
+        net_mode=net_mode,
         train_keys=["A", "B", "GT"],
         h5_2d_img_dir=str(tmp),
         image_size=64,
@@ -62,9 +63,11 @@ def main():
         fold_K=4, fold_idx=0,
         diffusion_steps=1000,
         parameterization="eps", loss_type="l2",
-        disentangle_distance=None,
+        disentangle_distance="eu" if net_mode == "ds_diff_gaussian" else None,
+        contrast_lambda=0.1,
         unet_config={"params": {
-            "model_channels": 64, "num_res_blocks": 2,
+            "model_channels": 64 if net_mode == "ddpm" else 48,
+            "num_res_blocks": 2 if net_mode == "ddpm" else 1,
             "channel_mult": [1, 2, 4], "attention_resolutions": [4],
             "num_heads": 4, "use_scale_shift_norm": True}},
         num_epochs=10000, lr=2e-4,
