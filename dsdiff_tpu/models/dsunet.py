@@ -136,13 +136,27 @@ class DSUNet(nn.Module):
                 ],
                 axis=0,
             )
+        elif C == 3:
+            # two conditions: lesion stream zero-padded (extends the
+            # reference's 2-channel fallback to 3)
+            streams = jnp.stack(
+                [
+                    x[..., 0:1],
+                    x[..., 1:2],
+                    x[..., 2:3],
+                    jnp.zeros_like(x[..., 0:1]),
+                ],
+                axis=0,
+            )
         elif C == N_STREAMS:
             # [noise, anatomy, anatomy+lesion, lesion]
             streams = jnp.stack(
                 [x[..., i : i + 1] for i in range(N_STREAMS)], axis=0
             )
         else:
-            raise ValueError(f"DSUNet expects 2 or 4 input channels, got {C}")
+            raise ValueError(
+                f"DSUNet expects 2-4 input channels, got {C}"
+            )
 
         ch0 = self.model_channels
         time_dim = ch0 * 4

@@ -39,12 +39,13 @@ def make_synthetic(root: Path, n_cases=8, n_slices=8, hw=64, seed=0):
             base = base / (np.abs(base).max() + 1e-6)
             cond1 = base
             cond2 = ndi.gaussian_filter(base, 2).astype(np.float32)
+            cond3 = np.abs(base).astype(np.float32)
             target = np.clip(-base * 0.8, -1, 1).astype(np.float32)
             for split in ("tr", "ts"):
                 h5store.write_slice(
                     root / f"images_{split}_{hw}" / f"case{c}"
                     / f"layer_{i}.h5",
-                    {"A": cond1, "B": cond2, "GT": target},
+                    {"A": cond1, "B": cond2, "C": cond3, "GT": target},
                 )
 
 
@@ -55,7 +56,7 @@ def main():
     make_synthetic(tmp)
     cfg = Config.wrap(dict(
         net_mode=net_mode,
-        train_keys=["A", "B", "GT"],
+        train_keys=["A", "B", "C", "GT"],
         h5_2d_img_dir=str(tmp),
         image_size=64,
         train_batch_size=16,

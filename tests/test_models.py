@@ -170,3 +170,17 @@ def test_dsunet_stream_routing():
     np.testing.assert_allclose(
         np.asarray(f_l["anatomy"]), np.asarray(base["anatomy"]), atol=1e-6
     )
+
+
+def test_dsunet_three_channel():
+    m = DSUNet(in_channels=4, out_channels=1, **TINY)
+    x4 = jnp.zeros((1, 32, 32, 4))
+    params = m.init(jax.random.PRNGKey(0), x4, jnp.zeros((1,)))
+    x3 = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    o3, _ = m.apply(params, x3, jnp.zeros((1,)))
+    # equals the 4ch input with a zero lesion stream
+    o4, _ = m.apply(
+        params, jnp.concatenate([x3, jnp.zeros((1, 32, 32, 1))], -1),
+        jnp.zeros((1,)),
+    )
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4), atol=1e-6)
