@@ -15,7 +15,6 @@ cond)``), matching the reference's model_kwargs plumbing.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -9,7 +9,6 @@ truncated-normal center sweeps toward hard slices linearly in step/warmup.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 from scipy import stats as sstats

@@ -21,7 +21,7 @@ tokens inside the transformer, keeping C minor so the projections hit the MXU.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

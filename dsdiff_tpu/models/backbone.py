@@ -17,7 +17,7 @@ one batched sweep instead of four sequential ones.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

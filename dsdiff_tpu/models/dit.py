@@ -18,7 +18,6 @@ hidden_size is a multiple of 128 at bf16.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import flax.linen as nn

@@ -25,7 +25,7 @@ TPU-native re-design of the reference's novel DSUnetModel
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Disc_diff/guided_diffusion/{nn.py,unet.py}):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

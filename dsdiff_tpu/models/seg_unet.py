@@ -18,7 +18,7 @@ These power the downstream Dice evaluation of synthesized volumes
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

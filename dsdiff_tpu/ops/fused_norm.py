@@ -17,7 +17,6 @@ Layout: x [B, H, W, C] viewed as [B, H*W, C]; grid (B, spatial chunks).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

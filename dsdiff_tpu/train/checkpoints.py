@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import jax
 from pathlib import Path
-from typing import Any
 
 import orbax.checkpoint as ocp
 

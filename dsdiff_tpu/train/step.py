@@ -22,8 +22,7 @@ GSPMD-sharded jit per phase. Design points:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

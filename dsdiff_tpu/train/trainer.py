@@ -501,7 +501,6 @@ class Trainer:
         denoiser sees gamma*1000 through its timestep embedding), inline
         DDIM/ancestral sampling via core.palette."""
         from ..core import palette as P
-        from .state import TrainState as _TS
 
         train_cfg = dict(cfg.get_path("palette.train_schedule", {}) or {})
         test_cfg = dict(cfg.get_path("palette.test_schedule", {}) or {})

@@ -18,11 +18,10 @@ Lightning manual-opt) and LPIPSWithDiscriminator
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..models.discriminator import (
     PatchDiscriminator, hinge_d_loss, vanilla_d_loss,
