@@ -300,3 +300,45 @@ def test_composite_distance():
     x = jnp.broadcast_to(
         jnp.linspace(0, 1, 32 * 32).reshape(1, 32, 32, 1), (1, 32, 32, 1))
     assert float(fn2(x, x)) < 1e-5
+
+
+def test_adversarial_disentangle_steps():
+    from dsdiff_tpu.core.schedules import DiffusionSchedule
+    from dsdiff_tpu.models import DSUNet
+    from dsdiff_tpu.train.adversarial import (
+        AdvConfig, ContentDiscriminator, make_adversarial_steps,
+    )
+    from dsdiff_tpu.train import schedule_sampler as ss
+    from dsdiff_tpu.train.state import TrainState, make_optimizer
+    from dsdiff_tpu.train.step import TaskConfig
+
+    model = DSUNet(in_channels=4, model_channels=16, out_channels=1,
+                   num_res_blocks=1, attention_resolutions=(),
+                   channel_mult=(1, 2), num_heads=2)
+    x = jnp.zeros((2, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
+    state = TrainState.create(model.apply, params, make_optimizer(1e-4))
+
+    disc = ContentDiscriminator(n_streams=3, base_channels=8)
+    half = 16 * 2 // 2  # deepest channels / 2
+    dp = disc.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 8, half)))
+    disc_state = TrainState.create(disc.apply, dp, make_optimizer(1e-4))
+
+    sched = DiffusionSchedule.create(
+        schedules.make_beta_schedule("linear", 10))
+    task = TaskConfig(parameterization="v", loss_type="charbonnier",
+                      feature_kind="ds", disen_lambda=0.1)
+    model_step, disc_step = make_adversarial_steps(
+        task, sched, disc.apply, AdvConfig(adv_lambda=0.1))
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3)),
+        "target": jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1)),
+    }
+    sampler = ss.uniform_init(10)
+    rng = jax.random.PRNGKey(4)
+    state, sampler, m = model_step(state, sampler, disc_state.params,
+                                   batch, rng)
+    assert np.isfinite(float(m["loss"])) and "loss_adv" in m
+    disc_state, dm = disc_step(disc_state, state, batch, rng)
+    assert 0.0 <= float(dm["disc_acc"]) <= 1.0
+    assert int(state.step) == 1 and int(disc_state.step) == 1
