@@ -137,21 +137,20 @@ def ddim_sample_loop(
     """
     T = sched.num_timesteps
     sqrt_acp_prev, dir_coef, sigma_t = _ddim_tables(sched, eta)
+    stochastic = eta != 0.0  # static: eta=0 needs no per-step noise at all
 
     def body(carry: _Loop, i):
         t = T - 1 - i
-        rng, key = jax.random.split(carry.rng)
+        rng = carry.rng
         pmv = _model_pred(
             sched, denoise_fn, carry.x, t, parameterization, learn_sigma,
             clip_denoised,
         )
-        noise = jax.random.normal(key, carry.x.shape, carry.x.dtype)
-        nonzero = jnp.float32(t != 0)
-        x = (
-            sqrt_acp_prev[t] * pmv.pred_x0
-            + dir_coef[t] * pmv.eps
-            + nonzero * sigma_t[t] * noise
-        )
+        x = sqrt_acp_prev[t] * pmv.pred_x0 + dir_coef[t] * pmv.eps
+        if stochastic:
+            rng, key = jax.random.split(rng)
+            noise = jax.random.normal(key, carry.x.shape, carry.x.dtype)
+            x = x + jnp.float32(t != 0) * sigma_t[t] * noise
         out = pmv.pred_x0 if collect_x0 else None
         return _Loop(x, rng), out
 
