@@ -1,0 +1,201 @@
+"""DSUNetSplit: DSUNet with condition-encoder caching for fast sampling.
+
+The DS-Diff sampler re-runs all four encoder streams at every reverse step
+(UNet_DS_Diff/model.py:674-686), but three of them (anatomy / anatomy+lesion
+/ lesion) consume CONDITION images that never change across the chain — only
+their FiLM time embedding does. Following the encoder-feature-reuse insight
+of "Faster Diffusion: Rethinking the Role of the Encoder" (arXiv:2312.09608),
+this variant:
+
+- separates the noise encoder (own params) from a 3-stream vmapped condition
+  encoder (per-stream params) — architecturally identical capacity to the
+  reference's four deep-copied encoders,
+- exposes ``encode_conditions``: run the condition streams ONCE at a fixed
+  reference timestep and return their bottleneck features + skip stack,
+- exposes ``denoise_cached``: per-step work is just the noise encoder +
+  middle + disentangle heads + fusion + decoder against the cached
+  condition activations — removing ~3/4 of the encoder FLOPs from every
+  sampling step.
+
+Training uses ``__call__`` (full forward, exact reference math with per-t
+condition embeddings). Caching is a sampling-time approximation: condition
+features are frozen at one timestep's embedding.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .backbone import OutHead, UNetDecoder, UNetEncoder, UNetMiddle
+from .dsunet import FeatureDisentangle, _SEProj
+from .layers import TimeEmbed
+
+__all__ = ["DSUNetSplit", "make_cached_denoiser"]
+
+Dtype = Any
+
+
+class DSUNetSplit(nn.Module):
+    in_channels: int = 4
+    model_channels: int = 96
+    out_channels: int = 1
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (8, 16, 32)
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 1, 2, 2, 3, 3)
+    conv_resample: bool = True
+    num_heads: int = 8
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def _common(self) -> dict:
+        return dict(
+            model_channels=self.model_channels,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=tuple(self.attention_resolutions),
+            dropout=self.dropout,
+            channel_mult=tuple(self.channel_mult),
+            conv_resample=self.conv_resample,
+            num_heads=self.num_heads,
+            num_head_channels=self.num_head_channels,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            resblock_updown=self.resblock_updown,
+            remat=self.remat,
+            dtype=self.dtype,
+        )
+
+    def setup(self):
+        kw = self._common()
+        self.time_embed = TimeEmbed(
+            self.model_channels, self.model_channels * 4, dtype=self.dtype
+        )
+        self.noise_encoder = UNetEncoder(**kw)
+        CondEncoder = nn.vmap(
+            UNetEncoder,
+            in_axes=(0, None, None),
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        self.cond_encoders = CondEncoder(**kw)
+        self.middle = UNetMiddle(**kw)
+        conv_ch = self.model_channels * self.channel_mult[-1]
+        half = conv_ch // 2
+        self.conv_style = FeatureDisentangle(half, dtype=self.dtype)
+        self.conv_content = FeatureDisentangle(half, dtype=self.dtype)
+        self.conv_anatomy = FeatureDisentangle(half, dtype=self.dtype)
+        self.conv_lesion = FeatureDisentangle(half, dtype=self.dtype)
+        self.style_proj = _SEProj(dtype=self.dtype)
+        self.share_content_proj = _SEProj(dtype=self.dtype)
+        self.anatomy_proj = _SEProj(dtype=self.dtype)
+        self.lesion_proj = _SEProj(dtype=self.dtype)
+        self.all_proj = nn.Conv(conv_ch, (1, 1), dtype=self.dtype)
+        self.decoder = UNetDecoder(**kw)
+        self.out = OutHead(self.out_channels, dtype=self.dtype)
+
+    # ------------------------------------------------------------- pieces
+    def encode_conditions(self, cond: jnp.ndarray, t_ref: jnp.ndarray):
+        """cond: [B, H, W, 3] (a, al, l) -> (h_cond [3,B,...], skips list).
+
+        Run once per sample call at a fixed reference timestep.
+        """
+        emb = self.time_embed(t_ref)
+        streams = jnp.stack([cond[..., i : i + 1] for i in range(3)], axis=0)
+        h_cond, skips_cond = self.cond_encoders(streams, emb, None)
+        return h_cond, skips_cond
+
+    def _fuse_and_decode(self, h_n, h_cond, skips_n, skips_cond, emb):
+        B = h_n.shape[0]
+        h_a, h_al, h_l = h_cond[0], h_cond[1], h_cond[2]
+
+        def apply_head(head, xs):
+            k = xs.shape[0]
+            flat = xs.reshape((k * B,) + xs.shape[2:])
+            out = head(flat)
+            return out.reshape((k, B) + out.shape[1:])
+
+        four = jnp.stack([h_n, h_a, h_al, h_l], axis=0)
+        styles4 = apply_head(self.conv_style, four)
+        contents4 = apply_head(self.conv_content, four)
+        anat2 = apply_head(self.conv_anatomy, jnp.stack([h_a, h_al], axis=0))
+        les2 = apply_head(self.conv_lesion, jnp.stack([h_al, h_l], axis=0))
+
+        h_n_style, style_list = styles4[0], styles4[1:]
+        h_n_content, content_list = contents4[0], contents4[1:]
+        h_style = self.style_proj(jnp.mean(style_list, axis=0))
+        h_share_content = self.share_content_proj(
+            jnp.mean(content_list, axis=0)
+        )
+        h_anatomy = self.anatomy_proj(jnp.mean(anat2, axis=0))
+        h_lesion = self.lesion_proj(jnp.mean(les2, axis=0))
+
+        fused = jnp.concatenate(
+            [h_n, h_share_content, h_style, h_anatomy, h_lesion], axis=-1
+        )
+        h = self.all_proj(nn.silu(fused))
+        # skips: mean of the noise stream and the 3 condition streams
+        skips = [
+            (sn + sc.sum(axis=0)) / 4.0
+            for sn, sc in zip(skips_n, skips_cond)
+        ]
+        h = self.decoder(h, skips, emb, None)
+        out = self.out(h)
+        features = {
+            "style": style_list,
+            "content": content_list,
+            "anatomy": anat2,
+            "lesion": les2,
+            "n_style_content": jnp.stack(
+                [h_style, h_n_style, h_share_content, h_n_content], axis=0
+            ),
+        }
+        return out, features
+
+    def denoise_cached(self, x_noise: jnp.ndarray, t: jnp.ndarray, cache):
+        """Per-step forward against cached condition activations.
+
+        x_noise: [B, H, W, 1]; cache = (h_cond, skips_cond) from
+        :meth:`encode_conditions`.
+        """
+        h_cond, skips_cond = cache
+        emb = self.time_embed(t)
+        h_n, skips_n = self.noise_encoder(x_noise, emb, None)
+        h_n = self.middle(h_n, emb, None)
+        return self._fuse_and_decode(h_n, h_cond, skips_n, skips_cond, emb)
+
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray):
+        """Full forward (training; exact per-t condition embeddings).
+
+        x: [B, H, W, 4] = [noise, a, al, l].
+        """
+        assert x.shape[-1] == 4, "DSUNetSplit expects 4 channels"
+        emb = self.time_embed(t)
+        h_n, skips_n = self.noise_encoder(x[..., 0:1], emb, None)
+        h_n = self.middle(h_n, emb, None)
+        streams = jnp.stack([x[..., i : i + 1] for i in (1, 2, 3)], axis=0)
+        h_cond, skips_cond = self.cond_encoders(streams, emb, None)
+        return self._fuse_and_decode(h_n, h_cond, skips_n, skips_cond, emb)
+
+
+def make_cached_denoiser(model: DSUNetSplit, params, cond: jnp.ndarray,
+                         t_ref: float = 500.0):
+    """Build a (x_noise, t) -> output denoiser with the condition encoders
+    evaluated once (outside any sampling scan)."""
+    B = cond.shape[0]
+    cache = model.apply(
+        params, cond, jnp.full((B,), t_ref, jnp.float32),
+        method=DSUNetSplit.encode_conditions,
+    )
+
+    def denoise(x, t_model):
+        out, _feats = model.apply(
+            params, x, t_model, cache, method=DSUNetSplit.denoise_cached
+        )
+        return out
+
+    return denoise

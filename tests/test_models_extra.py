@@ -112,3 +112,27 @@ def test_build_model_registry():
     assert m.model_channels == 32
     with pytest.raises(ValueError):
         build_model("nope")
+
+
+def test_dsunet_split_cached_equivalence():
+    from dsdiff_tpu.models.dsunet_cached import DSUNetSplit, \
+        make_cached_denoiser
+
+    m = DSUNetSplit(model_channels=16, num_res_blocks=1,
+                    attention_resolutions=(2,), channel_mult=(1, 2),
+                    num_heads=2, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.PRNGKey(1), x, t)
+    out, feats = m.apply(params, x, t)
+    assert out.shape == (2, 16, 16, 1)
+    assert feats["content"].shape[0] == 3
+    # cached denoiser reproduces the full forward when t_ref matches t
+    den = make_cached_denoiser(m, params, x[..., 1:], t_ref=0.0)
+    out_c = den(x[..., :1], t)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out),
+                               atol=1e-5)
+    # separate per-stream condition params + distinct noise encoder
+    assert "noise_encoder" in params["params"]
+    cond_leaf = jax.tree.leaves(params["params"]["cond_encoders"])[0]
+    assert cond_leaf.shape[0] == 3
