@@ -168,11 +168,15 @@ class DSUNetSplit(nn.Module):
         h_n = self.middle(h_n, emb, None)
         return self._fuse_and_decode(h_n, h_cond, skips_n, skips_cond, emb)
 
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 context=None, *, deterministic: bool = True):
         """Full forward (training; exact per-t condition embeddings).
 
-        x: [B, H, W, 4] = [noise, a, al, l].
+        x: [B, H, W, 4] = [noise, a, al, l]. ``context``/``deterministic``
+        accepted for trainer-signature compatibility (dropout is configured
+        at construction; this variant targets dropout=0 configs).
         """
+        del context, deterministic
         assert x.shape[-1] == 4, "DSUNetSplit expects 4 channels"
         emb = self.time_embed(t)
         h_n, skips_n = self.noise_encoder(x[..., 0:1], emb, None)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .disc_unet import DiscUNet
 from .dit import DIT_CONFIGS, DiT, make_dit
 from .dsunet import DSUNet
+from .dsunet_cached import DSUNetSplit
 from .unet import UNet
 from .vae import AutoencoderKL
 
@@ -79,6 +80,7 @@ def conditioned_call(
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "unet": UNet,
     "dsunet": DSUNet,
+    "dsunet_split": DSUNetSplit,
     "disc_unet": DiscUNet,
     "dit": DiT,
     "autoencoder_kl": AutoencoderKL,

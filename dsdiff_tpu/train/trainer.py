@@ -43,6 +43,7 @@ __all__ = ["Trainer", "FEATURE_KINDS"]
 FEATURE_KINDS = {
     "ds_diff_gaussian": ("dsunet", "ds"),
     "ds_diff": ("dsunet", "ds"),
+    "ds_diff_split": ("dsunet_split", "ds"),
     "disc_diff": ("disc_unet", "disc"),
     "ddpm": ("unet", None),
     "dit": ("dit", None),
@@ -159,7 +160,7 @@ class Trainer:
         self.base_out = base_out
         out_ch = base_out * (2 if learn_sigma else 1)
         dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
-        if model_name == "dsunet":
+        if model_name in ("dsunet", "dsunet_split"):
             model_params.setdefault("model_channels", 96)
             self.model = build_model(
                 model_name, in_channels=in_ch, out_channels=out_ch,
@@ -253,12 +254,17 @@ class Trainer:
             )
         self.rsched = rsched
         if not self.palette:
-            self.sample_fn = make_sample_fn(
-                self.model.apply, rsched, self.task, self.sampler_name,
-                self.eta,
-                clip_denoised=bool(cfg.get("clip_denoised", True)),
-                out_channels=self.base_out,
-            )
+            if model_name == "dsunet_split" and bool(
+                cfg.get("cached_cond_sampling", True)
+            ):
+                self.sample_fn = self._make_cached_sample_fn(rsched)
+            else:
+                self.sample_fn = make_sample_fn(
+                    self.model.apply, rsched, self.task, self.sampler_name,
+                    self.eta,
+                    clip_denoised=bool(cfg.get("clip_denoised", True)),
+                    out_channels=self.base_out,
+                )
         self.val_metrics = make_val_metrics()
 
         self.ckpt = CheckpointManager(
@@ -563,3 +569,36 @@ class Trainer:
             return PP.p_sample_loop(gs_test, fn, cond, rng)
 
         self.sample_fn = jax.jit(sample)
+
+    # -------------------------------------------- cached-condition sampling
+    def _make_cached_sample_fn(self, rsched):
+        """DSUNetSplit: condition encoders run once per sample call
+        (models/dsunet_cached.py); per-step work is noise-encoder + trunk."""
+        from ..core import sampling as S
+        from ..models.dsunet_cached import make_cached_denoiser
+
+        model = self.model
+        task = self.task
+        sampler_name = self.sampler_name
+        eta = self.eta
+        clip = bool(self.cfg.get("clip_denoised", True))
+        out_ch = self.base_out
+
+        def fn(params, cond, rng):
+            B, H, W, _ = cond.shape
+            denoise = make_cached_denoiser(model, params, cond)
+            x_rng, loop_rng = jax.random.split(rng)
+            x_T = jax.random.normal(x_rng, (B, H, W, out_ch), jnp.float32)
+            common = dict(parameterization=task.parameterization,
+                          learn_sigma=task.learn_sigma, clip_denoised=clip)
+            if sampler_name in ("dpm++", "dpm_solver++"):
+                return S.dpmpp_2m_sample_loop(rsched, denoise, x_T, **common)
+            if sampler_name == "plms":
+                return S.plms_sample_loop(rsched, denoise, x_T, **common)
+            if sampler_name in ("ancestral", "ddpm"):
+                return S.p_sample_loop(rsched, denoise, x_T, loop_rng,
+                                       **common)
+            return S.ddim_sample_loop(rsched, denoise, x_T, loop_rng,
+                                      eta=eta, **common)
+
+        return jax.jit(fn)

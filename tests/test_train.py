@@ -309,3 +309,33 @@ def test_shannon_curriculum_warmup_e2e(tmp_path):
                   val_every_epochs=10**9)
     assert step == 2
     tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_ds_diff_split_pipeline_e2e(tmp_path):
+    """DSUNetSplit net_mode: training full-forward + cached-cond sampling."""
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16, keys=("a", "al", "l", "gt"))
+    cfg = Config.wrap(dict(
+        net_mode="ds_diff_split", train_keys=["a", "al", "l", "gt"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=True, parameterization="v",
+        disentangle_distance="eu", contrast_lambda=0.1,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1,
+                                "use_scale_shift_norm": True}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    step = tr.fit(num_epochs=1, max_steps=2, log_every=1,
+                  val_every_epochs=1)
+    assert step == 2
+    out_dir, _ = tr.predict()
+    assert len(list(out_dir.glob("*_pred.nii.gz"))) == 4
+    tr.ckpt.close()
