@@ -86,6 +86,59 @@ def run(batch, repeats=3):
     return dt, flops
 
 
+def run_cached(batch):
+    """Condition-encoder-cached flagship variant (models/dsunet_cached.py):
+    the three condition streams encode once per sample call. Reported as
+    extra keys; the headline stays the reference-faithful path."""
+    from dsdiff_tpu.core import sampling, schedules
+    from dsdiff_tpu.models.dsunet_cached import (
+        DSUNetSplit, make_cached_denoiser,
+    )
+
+    model = DSUNetSplit(
+        model_channels=96, out_channels=2, num_res_blocks=2,
+        attention_resolutions=(8, 16, 32), channel_mult=(1, 1, 2, 2, 3, 3),
+        num_head_channels=48, use_scale_shift_norm=True, dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, H, H, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    betas = make_betas()
+    rsched = respace_steps(betas)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (batch, H, H, 3))
+
+    @jax.jit
+    def sample(params, cond, rng):
+        denoise = make_cached_denoiser(model, params, cond, t_ref=500.0)
+        x_T = jax.random.normal(rng, (batch, H, H, 1), jnp.float32)
+        return sampling.ddim_sample_loop(
+            rsched, denoise, x_T, rng, parameterization="v",
+            learn_sigma=True,
+        )
+
+    rng = jax.random.PRNGKey(2)
+    out = sample(params, cond, rng)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(3):
+        out = sample(params, cond, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / 3
+
+
+def make_betas():
+    from dsdiff_tpu.core import schedules
+
+    return schedules.make_beta_schedule("linear", 1000)
+
+
+def respace_steps(betas):
+    from dsdiff_tpu.core import schedules
+
+    return schedules.respace(
+        betas, schedules.space_timesteps(1000, str(STEPS))
+    )
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     candidates = [batch] if batch else [16, 8, 4, 2, 1]
@@ -110,6 +163,15 @@ def main():
         tflops = flops / dt / 1e12
         extras = {"achieved_tflops": round(tflops, 2),
                   "graph_gflops": round(flops / 1e9, 1)}
+    try:
+        dtc = run_cached(used_batch)
+        extras["cached_cond_fwd_per_sec"] = round(
+            STEPS * used_batch / dtc, 2)
+        extras["cached_cond_slices_per_sec"] = round(used_batch / dtc, 3)
+        extras["cached_cond_vs_baseline"] = round(
+            STEPS * used_batch / dtc / BASELINE_FWD_PER_SEC, 2)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "dsunet_256_ddim50_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
