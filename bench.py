@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 # persistent compilation cache: makes repeat bench runs skip the (slow)
 # first XLA compile when the backend supports executable serialization
-jax.config.update("jax_compilation_cache_dir", "/tmp/dsdiff_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
