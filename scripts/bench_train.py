@@ -1,0 +1,72 @@
+"""Training-throughput bench: flagship DSUnet train step at 256^2.
+
+Reports steps/sec/chip and slices/sec for the full jitted training step
+(charbonnier + VLB + C-S/S-A-L disentangle, EMA, AdamW) — the BASELINE.json
+first-class training metric.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from dsdiff_tpu.core import schedules
+from dsdiff_tpu.models import DSUNet
+from dsdiff_tpu.train import TrainState, make_optimizer
+from dsdiff_tpu.train import schedule_sampler as ss
+from dsdiff_tpu.train.step import TaskConfig, make_train_step
+
+H = 256
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    model = DSUNet(
+        in_channels=4, model_channels=96, out_channels=2,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 1, 2, 2, 3, 3), num_head_channels=48,
+        use_scale_shift_norm=True, remat=True, dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, H, H, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    sched = schedules.DiffusionSchedule.named("linear", 1000)
+    task = TaskConfig(parameterization="v", loss_type="charbonnier",
+                      learn_sigma=True, feature_kind="ds",
+                      disentangle_mode="eu", disen_lambda=0.5)
+    state = TrainState.create(model.apply, params, make_optimizer(1e-4))
+    sampler = ss.uniform_init(1000)
+    step_fn = make_train_step(task, sched, donate=True)
+    batch_data = {
+        "target": jax.random.normal(jax.random.PRNGKey(1), (batch, H, H, 1)),
+        "image": jax.random.normal(jax.random.PRNGKey(2), (batch, H, H, 3)),
+    }
+    rng = jax.random.PRNGKey(3)
+    state, sampler, m = step_fn(state, sampler, batch_data, rng)
+    jax.block_until_ready(m)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, sampler, m = step_fn(state, sampler, batch_data, rng)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "dsunet_256_train_steps_per_sec_per_chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/s/chip",
+        "slices_per_sec": round(batch / dt, 2),
+        "batch": batch,
+        "step_latency_s": round(dt, 4),
+        "loss": float(m["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
