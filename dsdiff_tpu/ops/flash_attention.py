@@ -76,9 +76,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
-    """softmax(q k^T / sqrt(D)) v with online softmax, [B, N, H, D] layout."""
+    """softmax(q k^T / sqrt(D)) v with online softmax, [B, N, H, D] layout.
+
+    Forward runs the Pallas kernel; the backward pass (custom_vjp below)
+    differentiates the mathematically-identical XLA attention — exact
+    gradients without a hand-written backward kernel.
+    """
     B, N, H, D = q.shape
     M = k.shape[1]
     scale = 1.0 / math.sqrt(D)
@@ -115,3 +120,28 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
         ),
     )(qf, kf, vf)
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+
+
+def _reference_attention(q, k, v):
+    """XLA attention with identical math (f32 softmax), for the VJP."""
+    D = q.shape[-1]
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / math.sqrt(D)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32)).astype(
+        q.dtype
+    )
+
+
+def _fa_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _fa_bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

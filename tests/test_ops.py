@@ -82,3 +82,34 @@ def test_flash_attention_supports_gate():
     assert not fa.supports(small, small, small)
     good = jnp.zeros((1, 1024, 2, 64))
     assert fa.supports(good, good, good)
+
+
+def test_flash_attention_has_gradients():
+    """The Pallas forward must be differentiable (custom VJP against the
+    XLA-math reference) — training at 256^2 engages the kernel."""
+    from dsdiff_tpu.ops import flash_attention as fa
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = interp
+    try:
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 2, 64))
+
+        def loss(q):
+            return jnp.sum(fa.flash_attention(q, q, q) ** 2)
+
+        g = jax.grad(loss)(q)
+
+        def loss_ref(q):
+            return jnp.sum(fa._reference_attention(q, q, q) ** 2)
+
+        g_ref = jax.grad(loss_ref)(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-4)
+    finally:
+        pl.pallas_call = orig
