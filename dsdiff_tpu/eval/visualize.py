@@ -153,3 +153,29 @@ def _save(fig, out_path) -> Path:
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def disentangle_heatmaps(features: dict, out_dir, mode: str = "eu",
+                         temperature: float = 0.05):
+    """Render the C-S and S-A-L similarity heatmaps with their 'perfect'
+    targets (the reference logs these images each training step,
+    trainer_use_gaussian_diff.py:472-475 / gaussian_diffusion.py:960-974).
+
+    ``features``: a DSUNet feature dict (e.g. captured offline from one
+    forward). Writes four PNGs and returns their paths.
+    """
+    from ..core.losses import ds_disentangle_losses
+    from ..utils.misc import heatmap_to_rgb
+
+    _, _, hm = ds_disentangle_losses(features, mode, temperature)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for name in ("c_s", "c_s_perfect", "s_a_l", "s_a_l_perfect"):
+        rgb = heatmap_to_rgb(np.asarray(hm[name]))
+        fig, ax = plt.subplots(figsize=(4, 4))
+        ax.imshow(rgb)
+        ax.set_title(name)
+        ax.axis("off")
+        paths.append(_save(fig, out_dir / f"heatmap_{name}.png"))
+    return paths

@@ -76,3 +76,17 @@ def test_visualize_outputs(tmp_path):
                                  out_path=tmp_path / "prof.png")
     for p in (p1, p2, p3, p4, p5):
         assert p.exists() and p.stat().st_size > 0
+
+
+def test_disentangle_heatmaps(tmp_path):
+    from dsdiff_tpu.eval.visualize import disentangle_heatmaps
+
+    k = jax.random.PRNGKey(0)
+    feats = {
+        "content": jax.random.normal(k, (3, 2, 4, 4, 8)),
+        "style": jax.random.normal(jax.random.PRNGKey(1), (3, 2, 4, 4, 8)),
+        "anatomy": jax.random.normal(jax.random.PRNGKey(2), (2, 2, 4, 4, 8)),
+        "lesion": jax.random.normal(jax.random.PRNGKey(3), (2, 2, 4, 4, 8)),
+    }
+    paths = disentangle_heatmaps(feats, tmp_path)
+    assert len(paths) == 4 and all(p.exists() for p in paths)
