@@ -339,3 +339,32 @@ def test_ds_diff_split_pipeline_e2e(tmp_path):
     out_dir, _ = tr.predict()
     assert len(list(out_dir.glob("*_pred.nii.gz"))) == 4
     tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_cfg_sampling_pipeline(tmp_path):
+    """cond_dropout training + cfg_scale guided sampling run end-to-end."""
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, hw=16)
+    cfg = Config.wrap(dict(
+        net_mode="ddpm", train_keys=["A", "B"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, parameterization="eps",
+        disentangle_distance=None, cond_dropout=0.2,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [],
+                                "num_heads": 1}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 5,
+                         "cfg_scale": 2.0},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    assert tr.task.cond_dropout == 0.2 and tr.task.cfg_scale == 2.0
+    step = tr.fit(num_epochs=1, max_steps=1, log_every=1,
+                  val_every_epochs=1)
+    assert step == 1
+    tr.ckpt.close()
