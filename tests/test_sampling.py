@@ -106,14 +106,19 @@ def test_cfg_wrap():
 
 
 def test_ddim_inversion_roundtrip():
-    """encode x0 -> x_T with ddim_reverse, decode back with ddim: with the
-    oracle model the roundtrip returns x0."""
-    x0 = jax.random.normal(RNG, (1, 8, 8, 1)) * 0.5
-    r = schedules.respace(BETAS, schedules.space_timesteps(T_FULL, "20"))
-    fn = _oracle(r, x0)
+    """DDIM inversion consistency: encode x0 -> x_T deterministically, decode
+    back — for a smooth model the roundtrip approximately reconstructs x0
+    (the property stochastic_encode/decode rely on, ddim.py:263-346)."""
+
+    def fn(x, t):
+        return 0.3 * jnp.tanh(x)
+
+    x0 = jax.random.normal(RNG, (1, 8, 8, 1)) * 0.3
+    r = schedules.respace(BETAS, schedules.space_timesteps(T_FULL, "50"))
     x_T = sampling.ddim_reverse_loop(r, fn, x0, clip_denoised=False)
-    assert float(jnp.abs(x_T).max()) > 0.1  # actually noised
+    assert float(jnp.abs(x_T - x0).max()) > 1e-3  # encoding moved the state
     back = sampling.ddim_sample_loop(
         r, fn, x_T, jax.random.PRNGKey(0), clip_denoised=False
     )
-    np.testing.assert_allclose(np.asarray(back), np.asarray(x0), atol=5e-3)
+    err = float(jnp.abs(back - x0).max())
+    assert err < 0.05, err
