@@ -133,8 +133,12 @@ class DiffusionSchedule(NamedTuple):
         acp_next = np.append(acp[1:], 0.0)
         post_var = betas * (1.0 - acp_prev) / (1.0 - acp)
         # log-variance clipped at t=0 as in the reference
-        # (gaussian_diffusion.py:170-173 / ddpm.py:170-173)
-        post_logvar = np.log(np.append(post_var[1], post_var[1:]))
+        # (gaussian_diffusion.py:170-173 / ddpm.py:170-173); a single-step
+        # schedule has no t=1 to borrow from — floor it instead
+        if T > 1:
+            post_logvar = np.log(np.append(post_var[1], post_var[1:]))
+        else:
+            post_logvar = np.log(np.maximum(post_var, 1e-20))
         if timestep_map is None:
             timestep_map = np.arange(T, dtype=np.int32)
         orig = original_num_steps if original_num_steps is not None else T
