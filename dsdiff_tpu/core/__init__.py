@@ -1,2 +1,4 @@
-from . import composite_loss, losses, palette, process, sampling, schedules
+from . import (
+    composite_loss, dpm_solver, losses, palette, process, sampling, schedules,
+)
 from .schedules import DiffusionSchedule, make_beta_schedule, respace, space_timesteps

@@ -181,18 +181,35 @@ def p_mean_variance(
     learn_sigma: bool = False,
     clip_denoised: bool = True,
     denoised_fn: Callable | None = None,
+    variance_type: str = "fixed_small",
 ) -> PMeanVariance:
     """p(x_{t-1} | x_t) moments from a raw denoiser output.
 
     Covers reference gaussian_diffusion.py:251-342 for all
     ModelMeanType/ModelVarType combinations used by the repo (EPSILON /
-    START_X / VELOCITY x FIXED_SMALL-posterior / LEARNED_RANGE).
+    START_X / VELOCITY x FIXED_SMALL / FIXED_LARGE / LEARNED_RANGE).
+    ``variance_type`` applies when ``learn_sigma`` is False: 'fixed_small'
+    uses the q-posterior variance (the LDM DDPM default, ddpm.py:299-306);
+    'fixed_large' uses beta_t with the t=0 entry patched to the posterior
+    (reference gaussian_diffusion.py:271-280, the OpenAI
+    create_gaussian_diffusion sigma_small=False default).
     """
     C = xt.shape[-1]
     if learn_sigma:
         pred, var_values = split_model_output(model_output, C)
         log_variance = learned_log_variance(sched, var_values, t)
         variance = jnp.exp(log_variance)
+    elif variance_type == "fixed_large":
+        pred = model_output
+        T = sched.betas.shape[0]
+        if T > 1:
+            var_table = jnp.concatenate(
+                [sched.posterior_variance[1:2], sched.betas[1:]]
+            )
+        else:
+            var_table = sched.posterior_variance
+        variance = extract(var_table, t, xt.ndim)
+        log_variance = jnp.log(jnp.maximum(variance, 1e-20))
     else:
         pred = model_output
         _, variance, log_variance = q_posterior_mean_variance(sched, xt, xt, t)

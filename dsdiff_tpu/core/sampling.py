@@ -63,14 +63,15 @@ class _Loop(NamedTuple):
 
 
 def _model_pred(sched, denoise_fn, x, t, parameterization, learn_sigma,
-                clip_denoised):
+                clip_denoised, variance_type="fixed_small"):
     """One denoiser call -> (pred_x0, eps) pair used by all samplers."""
     B = x.shape[0]
     tb = jnp.full((B,), t, dtype=jnp.int32)
     t_model = process.model_timestep(sched, tb)
     out = denoise_fn(x, t_model)
     pmv = process.p_mean_variance(
-        sched, out, x, tb, parameterization, learn_sigma, clip_denoised
+        sched, out, x, tb, parameterization, learn_sigma, clip_denoised,
+        variance_type=variance_type,
     )
     return pmv
 
@@ -84,6 +85,7 @@ def p_sample_loop(
     learn_sigma: bool = False,
     clip_denoised: bool = True,
     collect_x0: bool = False,
+    variance_type: str = "fixed_small",
 ):
     """Ancestral DDPM sampling (reference gaussian_diffusion.py:344-430)."""
     T = sched.num_timesteps
@@ -93,7 +95,7 @@ def p_sample_loop(
         rng, key = jax.random.split(carry.rng)
         pmv = _model_pred(
             sched, denoise_fn, carry.x, t, parameterization, learn_sigma,
-            clip_denoised,
+            clip_denoised, variance_type,
         )
         noise = jax.random.normal(key, carry.x.shape, carry.x.dtype)
         nonzero = jnp.float32(t != 0)

@@ -100,6 +100,14 @@ class BatchLoader:
     For ``drop_last=False`` the final short batch is zero-padded to full size
     and a boolean ``valid`` mask marks real rows (variable slice counts per
     case at predict time — SURVEY.md §7 risk item).
+
+    ``batch_size`` is GLOBAL. In multi-process mode (jax.process_count()>1,
+    or explicit ``process_count``/``process_index``) every process computes
+    the identical global index order but materializes only its contiguous
+    ``batch_size/process_count`` rows of each batch — the process-local shard
+    that ``parallel.mesh.shard_batch`` hands to
+    ``jax.make_array_from_process_local_data``. This is the TPU analogue of
+    the reference's DistributedSampler (trainers/trainer_ds_diff.py:268-311).
     """
 
     def __init__(
@@ -110,13 +118,29 @@ class BatchLoader:
         shuffle: bool = True,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_count: int | None = None,
+        process_index: int | None = None,
     ):
+        import jax
+
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {self.process_count}"
+            )
+        self.local_batch_size = batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -131,6 +155,12 @@ class BatchLoader:
         return idx
 
     def _make_batch(self, epoch: int, batch_idx: int, idxs) -> dict:
+        # materialize only this process's contiguous slice of the global
+        # batch; rows beyond the dataset tail (drop_last=False padding)
+        # arrive as -1 and become zero-padded invalid rows
+        lo = self.process_index * self.local_batch_size
+        idxs = [int(i) for i in idxs[lo : lo + self.local_batch_size]
+                if int(i) >= 0]
         rows = []
         for i in idxs:
             rng = np.random.default_rng(
@@ -139,10 +169,18 @@ class BatchLoader:
                 )
             )
             rows.append(self.ds.get(int(i), rng))
-        B = self.batch_size
+        B = self.local_batch_size
         n = len(rows)
-        image = np.stack([r["image"] for r in rows])
-        target = np.stack([r["target"] for r in rows])
+        if rows:
+            image = np.stack([r["image"] for r in rows])
+            target = np.stack([r["target"] for r in rows])
+            self._shapes = (image.shape[1:], target.shape[1:])
+        else:
+            if not hasattr(self, "_shapes"):
+                probe = self.ds.get(0, np.random.default_rng(0))
+                self._shapes = (probe["image"].shape, probe["target"].shape)
+            image = np.zeros((0,) + self._shapes[0], np.float32)
+            target = np.zeros((0,) + self._shapes[1], np.float32)
         valid = np.ones((n,), dtype=bool)
         if n < B:
             pad = B - n
@@ -163,6 +201,14 @@ class BatchLoader:
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         order = self._index_order(epoch)
         nb = len(self)
+        # pad the global order to whole batches with -1 sentinels so every
+        # process sees identically-sized global batches (short-tail rows
+        # become invalid zero rows)
+        need = nb * self.batch_size
+        if order.size < need:
+            order = np.concatenate(
+                [order, np.full(need - order.size, -1, order.dtype)]
+            )
         batches = [
             order[b * self.batch_size : (b + 1) * self.batch_size]
             for b in range(nb)

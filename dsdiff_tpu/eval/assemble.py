@@ -50,7 +50,12 @@ class VolumeAssembler:
             vol = np.zeros(template.data.shape, dtype=np.float32)
             for idx, img in slices.items():
                 h, w = vol.shape[0], vol.shape[1]
-                vol[:, :, idx] = img[:h, :w]
+                # undo divisible_pad's symmetric padding: the front offsets
+                # are ph//2 / pw//2 (data/transforms.py divisible_pad), so a
+                # center-crop keeps the prediction aligned with the template
+                ph, pw = img.shape[0] - h, img.shape[1] - w
+                oh, ow = max(ph, 0) // 2, max(pw, 0) // 2
+                vol[:, :, idx] = img[oh : oh + h, ow : ow + w]
             return Nifti.like(vol, template)
         n = max(slices) + 1
         h, w = next(iter(slices.values())).shape

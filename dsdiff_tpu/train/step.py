@@ -43,6 +43,9 @@ class TaskConfig:
     parameterization: str = "v"
     loss_type: str = "charbonnier"
     learn_sigma: bool = False
+    # ancestral-sampling variance when learn_sigma is False: 'fixed_small'
+    # (LDM posterior) or 'fixed_large' (OpenAI sigma_small=False default)
+    variance_type: str = "fixed_small"
     vlb_weight: float = 1.0
     # 'ds' (C-S + S-A-L), 'disc' (com/dist), or None
     feature_kind: str | None = None
@@ -151,6 +154,9 @@ def make_sample_fn(
     eta: float = 0.0,
     clip_denoised: bool = True,
     out_channels: int = 1,
+    full_sched: DiffusionSchedule | None = None,
+    sample_steps: int | None = None,
+    solver_options: dict | None = None,
 ):
     """Returns jitted (params, cond, rng) -> samples [B, H, W, C].
 
@@ -158,6 +164,12 @@ def make_sample_fn(
     (on_predict_start parity, trainer_use_gaussian_diff.py:586-600). The
     whole reverse chain compiles to one lax.scan — the reference's hot loop
     (2) in SURVEY.md §3.
+
+    The 'dpm'/'dpm_solver' samplers are the full DPM-Solver family
+    (core.dpm_solver; reference sampler.py:305-1273 via
+    gaussian_diffusion.py:467-523): they need ``full_sched`` (the un-respaced
+    schedule — the solver re-grids internally) and ``sample_steps``;
+    ``solver_options`` forwards order/method/skip_type/algorithm_type.
     """
 
     def fn(params, cond, rng):
@@ -190,6 +202,27 @@ def make_sample_fn(
             learn_sigma=task.learn_sigma,
             clip_denoised=clip_denoised,
         )
+        if sampler in ("dpm", "dpm_solver", "dpm_singlestep",
+                       "dpm_adaptive"):
+            from ..core import dpm_solver as DS
+
+            opts = dict(solver_options or {})
+            if sampler == "dpm_singlestep":
+                opts.setdefault("method", "singlestep")
+                opts.setdefault("order", 3)
+                opts.setdefault("skip_type", "time_uniform")
+                opts.setdefault("denoised_fn", None)
+            elif sampler == "dpm_adaptive":
+                opts.setdefault("method", "adaptive")
+                opts.setdefault("order", 3)
+                opts.setdefault("denoised_fn", None)
+            return DS.dpm_solver_sample_loop(
+                full_sched if full_sched is not None else sched,
+                denoise, x_T, steps=sample_steps,
+                parameterization=task.parameterization,
+                learn_sigma=task.learn_sigma,
+                clip_denoised=False, **opts,
+            )
         if sampler in ("ddim",):
             return sampling.ddim_sample_loop(
                 sched, denoise, x_T, loop_rng, eta=eta, **common
@@ -202,7 +235,8 @@ def make_sample_fn(
             return sampling.plms_sample_loop(sched, denoise, x_T, **common)
         if sampler in ("ancestral", "ddpm"):
             return sampling.p_sample_loop(
-                sched, denoise, x_T, loop_rng, **common
+                sched, denoise, x_T, loop_rng,
+                variance_type=task.variance_type, **common
             )
         raise ValueError(f"unknown sampler '{sampler}'")
 

@@ -21,16 +21,37 @@ __all__ = ["fit_tensor", "make_it_fit", "filtered_load"]
 
 
 def fit_tensor(old: np.ndarray, new_shape: tuple) -> np.ndarray:
-    """Cycle source values into a differently-shaped target (ddpm.py:231-259
-    generalized to any rank: index modulo along each mismatched axis)."""
+    """Cycle source values into a differently-shaped target.
+
+    Rank>=2 with matching trailing dims reproduces the reference
+    ``make_it_fit`` exactly (ddpm.py:235-260): modulo-cycle the first two
+    axes, then divide by the reference's n_used count over the input axis
+    (axis 1) — including its ones-initialized counter — so duplicated input
+    channels don't inflate activations. Other shapes (rank change, trailing
+    mismatch) fall back to generalized modulo-cycling, an extension the
+    reference asserts away.
+    """
     old = np.asarray(old)
-    if old.shape == tuple(new_shape):
+    new_shape = tuple(new_shape)
+    if old.shape == new_shape:
         return old.copy()
     if old.ndim != len(new_shape):
         # rank change: flatten-cycle
         flat = old.reshape(-1)
         out = np.take(flat, np.arange(int(np.prod(new_shape))) % flat.size)
         return out.reshape(new_shape).astype(old.dtype)
+    if old.ndim >= 2 and old.shape[2:] == new_shape[2:]:
+        i = np.arange(new_shape[0]) % old.shape[0]
+        j = np.arange(new_shape[1]) % old.shape[1]
+        new = old[np.ix_(i, j)].astype(np.float64)
+        # ddpm.py:250-260 — n_used_old starts at ones, +1 per target use
+        n_used_old = np.ones(old.shape[1])
+        for jj in j:
+            n_used_old[jj] += 1
+        n_used_new = n_used_old[j].reshape(
+            (1, new_shape[1]) + (1,) * (old.ndim - 2)
+        )
+        return (new / n_used_new).astype(old.dtype)
     idx = np.indices(new_shape)
     src = tuple(idx[d] % old.shape[d] for d in range(old.ndim))
     return old[src].astype(old.dtype)

@@ -52,6 +52,16 @@ FEATURE_KINDS = {
     "diffusion": ("unet", None),  # the reference's trainer_diffusion name
 }
 
+# net_modes whose diffusion math mirrors the OpenAI fork (training_project/
+# utils/gaussian_diffusion.py + Disc_diff): their 'linear' noise_schedule is
+# get_named_beta_schedule('linear') and their non-learned variance is
+# FIXED_LARGE (create_gaussian_diffusion sigma_small=False default). The
+# LDM-math modes (ds_diff, ddpm, latent — trainer_ds_diff.py/trainer_ddpm.py
+# extend ldm's DDPM) keep the LDM sqrt-space 'linear' and posterior variance.
+OPENAI_SCHEDULE_MODES = frozenset(
+    {"ds_diff_gaussian", "ds_diff_split", "disc_diff", "dit"}
+)
+
 
 class Trainer:
     def __init__(self, cfg: Config, workdir, mesh=None):
@@ -79,9 +89,16 @@ class Trainer:
 
         # ---- diffusion schedule
         T = int(cfg.get_path("diffusion.steps", cfg.get("diffusion_steps", 1000)))
-        beta_schedule = cfg.get_path(
-            "diffusion.beta_schedule", cfg.get("noise_schedule", "linear")
-        )
+        beta_schedule = cfg.get_path("diffusion.beta_schedule", None)
+        if beta_schedule is None:
+            # ``noise_schedule`` is the OpenAI-style key (reference
+            # script_util.py create_gaussian_diffusion); for the OpenAI-math
+            # pipelines 'linear' means get_named_beta_schedule('linear') =
+            # scale*linspace(1e-4, 2e-2) — our 'scaled_linear' — NOT the LDM
+            # sqrt-space 'linear' (ldm/modules/diffusionmodules/util.py:30).
+            beta_schedule = cfg.get("noise_schedule", "linear")
+            if beta_schedule == "linear" and net_mode in OPENAI_SCHEDULE_MODES:
+                beta_schedule = "scaled_linear"
         linear_start = float(cfg.get("linear_start", 1e-4))
         linear_end = float(cfg.get("linear_end", 2e-2))
         self.betas = schedules.make_beta_schedule(
@@ -93,6 +110,11 @@ class Trainer:
         disen = cfg.get("disentangle_distance", "eu")
         self.task = TaskConfig(
             parameterization=cfg.get("parameterization", "v"),
+            variance_type=cfg.get(
+                "variance_type",
+                "fixed_large" if net_mode in OPENAI_SCHEDULE_MODES
+                else "fixed_small",
+            ),
             loss_type={"charbonnie": "charbonnier"}.get(
                 cfg.get("loss_type", "charbonnier"),
                 cfg.get("loss_type", "charbonnier"),
@@ -259,11 +281,19 @@ class Trainer:
             ):
                 self.sample_fn = self._make_cached_sample_fn(rsched)
             else:
+                solver_opts = {
+                    k: samp[k] for k in
+                    ("order", "method", "skip_type", "algorithm_type")
+                    if k in samp
+                }
                 self.sample_fn = make_sample_fn(
                     self.model.apply, rsched, self.task, self.sampler_name,
                     self.eta,
                     clip_denoised=bool(cfg.get("clip_denoised", True)),
                     out_channels=self.base_out,
+                    full_sched=self.sched,
+                    sample_steps=self.sample_steps,
+                    solver_options=solver_opts,
                 )
         self.val_metrics = make_val_metrics()
 
@@ -597,6 +627,7 @@ class Trainer:
                 return S.plms_sample_loop(rsched, denoise, x_T, **common)
             if sampler_name in ("ancestral", "ddpm"):
                 return S.p_sample_loop(rsched, denoise, x_T, loop_rng,
+                                       variance_type=task.variance_type,
                                        **common)
             return S.ddim_sample_loop(rsched, denoise, x_T, loop_rng,
                                       eta=eta, **common)
