@@ -1,14 +1,17 @@
-"""Frechet distance metrics (FID-shaped) and pixel-domain VIF.
+"""Frechet distance metrics (FID) and pixel-domain VIF.
 
 Reference inference/test_metrics.py uses torchmetrics FID (:326) and VIF
-(:354). Pretrained InceptionV3 cannot be downloaded here, so:
+(:354). Pretrained InceptionV3 cannot be *downloaded* here, so:
 
 - :func:`frechet_distance` implements the exact Frechet/Wasserstein-2
   computation between feature Gaussians,
 - :class:`FeatureStats` accumulates means/covariances streaming-fashion,
-- :func:`fid` wires them through a feature extractor — by default the
+- :func:`make_inception_extractor` builds the TRUE pool3-2048 extractor from
+  a locally-stored torchvision/pt-FID inception checkpoint
+  (models/inception.py + the torch-free reader in utils/torch_io.py),
+- :func:`fid` wires them through any extractor — defaulting to the
   seed-deterministic random pyramid from :mod:`dsdiff_tpu.eval.perceptual`
-  (swap in a locally-stored Inception for true FID),
+  when no inception weights exist on disk,
 - :func:`vifp` is the pixel-domain Visual Information Fidelity (Sheikh &
   Bovik), which needs no pretrained model and matches the standard
   multi-scale gaussian formulation.
@@ -18,7 +21,33 @@ from __future__ import annotations
 import numpy as np
 from scipy import linalg, ndimage
 
-__all__ = ["FeatureStats", "frechet_distance", "fid", "vifp"]
+__all__ = [
+    "FeatureStats",
+    "frechet_distance",
+    "fid",
+    "vifp",
+    "make_inception_extractor",
+]
+
+
+def make_inception_extractor(weights_path, batch_resize: bool = True):
+    """True-FID extractor: [B, H, W, C] in [-1, 1] -> [B, 2048] pool3
+    features from a local inception checkpoint (test_metrics.py:326)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.inception import load_inception
+
+    net, variables = load_inception(weights_path, resize_input=batch_resize)
+    apply = jax.jit(lambda x: net.apply(variables, x))
+
+    def extractor(x):
+        xb = jnp.asarray(np.asarray(x), jnp.float32)
+        if xb.shape[-1] == 1:
+            xb = jnp.repeat(xb, 3, axis=-1)
+        return np.asarray(apply(xb))
+
+    return extractor
 
 
 class FeatureStats:

@@ -40,6 +40,8 @@ __all__ = [
     "ssim",
     "ms_ssim",
     "ms_ssim_volume",
+    "cw_ssim_slice",
+    "cw_ssim_volume",
     "nmi",
     "cc",
     "dice",
@@ -286,9 +288,73 @@ def ms_ssim_volume(true, pred, mask=None) -> float:
     return float(jnp.mean(vals))
 
 
-def evaluate_volume(true, pred, mask=None) -> dict:
+def _ricker(points: int, a: float) -> np.ndarray:
+    """Mexican-hat wavelet (scipy.signal.ricker formula)."""
+    A = 2.0 / (np.sqrt(3.0 * a) * np.pi**0.25)
+    x = np.arange(points) - (points - 1.0) / 2.0
+    xsq = (x / a) ** 2
+    return A * (1.0 - xsq) * np.exp(-xsq / 2.0)
+
+
+def _cwt_ricker(sig: np.ndarray, widths) -> np.ndarray:
+    """Continuous wavelet transform rows (scipy.signal.cwt semantics:
+    per width, same-mode convolution with ricker(min(10*w, len), w))."""
+    from scipy.signal import fftconvolve
+
+    out = np.empty((len(widths), sig.shape[0]), np.float64)
+    for i, w in enumerate(widths):
+        n = int(min(10 * w, sig.shape[0]))
+        out[i] = fftconvolve(sig, _ricker(n, w), mode="same")
+    return out
+
+
+def cw_ssim_slice(true_img: np.ndarray, pred_img: np.ndarray,
+                  width: int = 30, k: float = 0.01) -> float:
+    """CW-SSIM of one 2D slice — the pyssim ``cw_ssim_value`` algorithm the
+    reference calls (inference/test_metrics.py:304-323): ricker-CWT over the
+    flattened pixel sequence, widths 1..30, magnitude + phase terms."""
+    sig1 = np.asarray(true_img, np.float64).ravel()
+    sig2 = np.asarray(pred_img, np.float64).ravel()
+    widths = np.arange(1, width + 1)
+    c1 = _cwt_ricker(sig1, widths)
+    c2 = _cwt_ricker(sig2, widths)
+    a1, a2 = np.abs(c1), np.abs(c2)
+    num1 = 2.0 * np.sum(a1 * a2, axis=0) + k
+    den1 = np.sum(a1**2, axis=0) + np.sum(a2**2, axis=0) + k
+    prod = c1 * np.conjugate(c2)
+    num2 = 2.0 * np.abs(np.sum(prod, axis=0)) + k
+    den2 = 2.0 * np.sum(np.abs(prod), axis=0) + k
+    return float(np.average((num1 / den1) * (num2 / den2)))
+
+
+def cw_ssim_volume(true, pred, mask=None, width: int = 30) -> float:
+    """Reference cw_ssim (test_metrics.py:304-323): crop to mask bbox, scale
+    to 8-bit, per-slice CW-SSIM (z slices), mean."""
+    t = np.array(true, dtype=np.float64, copy=True)
+    p = np.array(pred, dtype=np.float64, copy=True)
+    if mask is not None:
+        m = np.asarray(mask).astype(bool)
+        t = _mask_bbox(t, m)
+        p = _mask_bbox(p, m)
+
+    def scale256(x):
+        rng = x.max() - x.min()
+        return ((x - x.min()) / (rng if rng else 1.0) * 255.0).astype(
+            np.uint8
+        )
+
+    t = scale256(t)
+    p = scale256(p)
+    vals = [
+        cw_ssim_slice(t[..., z], p[..., z], width=width)
+        for z in range(t.shape[-1])
+    ]
+    return float(np.mean(vals))
+
+
+def evaluate_volume(true, pred, mask=None, with_cw_ssim: bool = True) -> dict:
     """The per-case metric row of inference/get_metric.py:16-132."""
-    return {
+    row = {
         "nrmse": nrmse(true, pred, mask),
         "smape": smape(true, pred, mask),
         "logac": logac(true, pred, mask),
@@ -299,3 +365,6 @@ def evaluate_volume(true, pred, mask=None) -> dict:
         "nmi": nmi(true, pred, mask),
         "cc": cc(true, pred, mask),
     }
+    if with_cw_ssim:
+        row["cw_ssim"] = cw_ssim_volume(true, pred, mask)
+    return row

@@ -1,13 +1,22 @@
-"""Perceptual feature distance (LPIPS-shaped, weight-file optional).
+"""Perceptual feature distance: real VGG16-LPIPS when weights exist locally,
+random-feature proxy otherwise.
 
 The reference uses pretrained LPIPS / RadImageNet backbones
-(loss_function/perceptual_loss.py:21-365, ldm LPIPS in contperceptual.py:18).
-Pretrained weights cannot be downloaded in this environment, so the backbone
-here is a fixed, seed-deterministic random conv pyramid — random-feature
-perceptual distances are a documented effective proxy (random VGG features
-retain the metric's spatial-frequency sensitivity) — with the same call
-contract, and a hook to load real backbone parameters from a local file when
-available.
+(loss_function/perceptual_loss.py:21-365, ldm LPIPS in
+ldm/modules/losses/contperceptual.py:18 via taming). This module provides:
+
+- :class:`VGG16Features` — the VGG16 feature trunk in Flax (torchvision
+  ``features`` layout), returning the five LPIPS slices
+  (relu1_2/relu2_2/relu3_3/relu4_3/relu5_3),
+- :class:`LPIPS` — the Zhang et al. metric: per-layer unit-normalized feature
+  differences, 1x1 linear heads, spatial mean — loading torchvision VGG16
+  weights and the lpips ``lin*`` head file through
+  :mod:`dsdiff_tpu.utils.torch_io` (no torch import),
+- :class:`PerceptualLoss` — the framework-facing wrapper: constructs real
+  LPIPS when a local VGG16 checkpoint is supplied (weight download is
+  impossible in this environment), otherwise a fixed seed-deterministic
+  random conv pyramid (random VGG features retain the metric's
+  spatial-frequency sensitivity) with the same call contract.
 """
 from __future__ import annotations
 
@@ -18,7 +27,144 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PerceptualLoss"]
+__all__ = ["PerceptualLoss", "LPIPS", "VGG16Features", "load_vgg16_lpips"]
+
+# torchvision VGG16 `features` conv indices per block
+_VGG16_LAYOUT = (
+    (64, (0, 2)),
+    (128, (5, 7)),
+    (256, (10, 12, 14)),
+    (512, (17, 19, 21)),
+    (512, (24, 26, 28)),
+)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 trunk emitting the five LPIPS feature slices."""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        h = x
+        for b, (width, idxs) in enumerate(_VGG16_LAYOUT):
+            for i in idxs:
+                h = nn.Conv(width, (3, 3), padding=1, name=f"conv{i}")(h)
+                h = nn.relu(h)
+            feats.append(h)
+            if b < len(_VGG16_LAYOUT) - 1:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        return feats
+
+
+def map_vgg16(sd: dict) -> dict:
+    """torchvision VGG16 state_dict -> VGG16Features flax paths."""
+    out = {}
+    for _, idxs in _VGG16_LAYOUT:
+        for i in idxs:
+            w = sd.get(f"features.{i}.weight")
+            b = sd.get(f"features.{i}.bias")
+            if w is not None:
+                out[f"params/conv{i}/kernel"] = np.transpose(
+                    np.asarray(w), (2, 3, 1, 0)
+                )
+            if b is not None:
+                out[f"params/conv{i}/bias"] = np.asarray(b)
+    return out
+
+
+def map_lpips_lins(sd: dict) -> list[np.ndarray | None]:
+    """lpips ``lin{k}.model.1.weight`` [1, C, 1, 1] -> [C] vectors.
+
+    Accepts both the standalone lpips weight files and taming's ``vgg.pth``
+    (keys ``lin0.model.1.weight`` ...).
+    """
+    lins = []
+    for k in range(5):
+        w = None
+        for key in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
+            if key in sd:
+                w = np.asarray(sd[key]).reshape(-1)
+                break
+        lins.append(w)
+    return lins
+
+
+def _normalize_tensor(x, eps=1e-10):
+    return x / (jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True)) + eps)
+
+
+# LPIPS input scaling (ScalingLayer shift/scale, lpips/lpips.py)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class LPIPS:
+    """Learned perceptual distance (Zhang et al. 2018), VGG backbone.
+
+    ``vgg_params`` from :func:`map_vgg16`; ``lins`` the five head vectors
+    (None -> uniform average, the 'baseline' LPIPS mode).
+    """
+
+    def __init__(self, vgg_params, lins=None):
+        self.net = VGG16Features()
+        self.params = vgg_params
+        self.lins = lins if lins is not None else [None] * 5
+        self._fn = jax.jit(self._distance)
+
+    def _distance(self, params, x, y):
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+            y = jnp.repeat(y, 3, axis=-1)
+        xs = (x - _SHIFT) / _SCALE
+        ys = (y - _SHIFT) / _SCALE
+        fx = self.net.apply(params, xs)
+        fy = self.net.apply(params, ys)
+        total = 0.0
+        for k, (a, b) in enumerate(zip(fx, fy)):
+            d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
+            lin = self.lins[k]
+            if lin is not None:
+                d = d * jnp.asarray(lin)
+                total = total + jnp.sum(jnp.mean(d, axis=(1, 2)), axis=-1)
+            else:
+                total = total + jnp.mean(d, axis=(1, 2, 3))
+        return total
+
+    def __call__(self, x, y):
+        return self._fn(self.params, x, y)
+
+    def distance_fn(self):
+        params, lins, dist = self.params, self.lins, self._distance
+
+        def fn(x, y):
+            return dist(params, x, y)
+
+        return fn
+
+
+def load_vgg16_lpips(vgg_path, lpips_path=None) -> LPIPS:
+    """Build real LPIPS from local torch checkpoint files.
+
+    ``vgg_path``: torchvision VGG16 (``features.*``) file — .pth or
+    .safetensors; may also carry the lin heads (taming vgg.pth style).
+    ``lpips_path``: optional separate lpips head file.
+    """
+    from ..utils import torch_io
+
+    sd = torch_io.load_checkpoint(vgg_path)
+    mapped = map_vgg16(sd)
+    net = VGG16Features()
+    target = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))
+    target = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), target)
+    params, missing, _ = torch_io.assign(target, mapped, make_fit=False)
+    if missing:
+        raise ValueError(f"VGG16 weights incomplete: missing {missing[:5]}")
+    lins = map_lpips_lins(sd)
+    if lpips_path:
+        lins2 = map_lpips_lins(torch_io.load_checkpoint(lpips_path))
+        lins = [b if b is not None else a for a, b in zip(lins, lins2)]
+    return LPIPS(params, lins)
 
 
 class _FeaturePyramid(nn.Module):
@@ -43,18 +189,36 @@ class PerceptualLoss:
 
     x, y: [B, H, W, C] in [-1, 1]; single-channel inputs are repeated to 3
     channels like the reference (contperceptual.py:54-55).
+
+    ``weights_path`` may be: a torchvision VGG16 / taming vgg.pth checkpoint
+    (-> real LPIPS), a pickled _FeaturePyramid param tree (legacy), or None
+    (-> the random-feature proxy). ``lpips_path`` optionally supplies the
+    lpips lin heads separately.
     """
 
-    def __init__(self, seed: int = 0, weights_path: str | None = None):
-        self.net = _FeaturePyramid()
-        dummy = jnp.zeros((1, 64, 64, 3))
-        self.params = self.net.init(jax.random.PRNGKey(seed), dummy)
+    def __init__(self, seed: int = 0, weights_path: str | None = None,
+                 lpips_path: str | None = None):
+        self._lpips = None
         if weights_path and Path(weights_path).exists():
-            import pickle
+            try:
+                self._lpips = load_vgg16_lpips(weights_path, lpips_path)
+            except Exception:
+                import pickle
 
-            with open(weights_path, "rb") as f:
-                self.params = pickle.load(f)
-        self._fn = jax.jit(self._distance)
+                with open(weights_path, "rb") as f:
+                    legacy = pickle.load(f)
+                self.net = _FeaturePyramid()
+                self.params = legacy
+        if self._lpips is None and not hasattr(self, "net"):
+            self.net = _FeaturePyramid()
+            dummy = jnp.zeros((1, 64, 64, 3))
+            self.params = self.net.init(jax.random.PRNGKey(seed), dummy)
+        if self._lpips is None:
+            self._fn = jax.jit(self._distance)
+
+    @property
+    def is_real_lpips(self) -> bool:
+        return self._lpips is not None
 
     def _distance(self, params, x, y):
         if x.shape[-1] == 1:
@@ -70,10 +234,14 @@ class PerceptualLoss:
         return total
 
     def __call__(self, x, y):
+        if self._lpips is not None:
+            return self._lpips(x, y)
         return self._fn(self.params, x, y)
 
     def distance_fn(self):
         """(params-closed) pure fn for use inside other jitted steps."""
+        if self._lpips is not None:
+            return self._lpips.distance_fn()
         params = self.params
 
         def fn(x, y):

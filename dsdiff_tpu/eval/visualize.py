@@ -25,6 +25,9 @@ __all__ = [
     "difference_map",
     "tsne_features",
     "pixel_profile",
+    "disentangle_heatmaps",
+    "image_grid",
+    "denoise_row",
 ]
 
 
@@ -179,3 +182,66 @@ def disentangle_heatmaps(features: dict, out_dir, mode: str = "eu",
         ax.axis("off")
         paths.append(_save(fig, out_dir / f"heatmap_{name}.png"))
     return paths
+
+
+def _to_unit(img: np.ndarray) -> np.ndarray:
+    lo, hi = float(img.min()), float(img.max())
+    return (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+
+
+def image_grid(named_images: dict, out_path, max_rows: int = 4) -> Path:
+    """Save a labeled grid: one column per entry (conds / GT / prediction),
+    one row per batch element — the reference's per-val-epoch real/fake
+    sample logging (trainer_ds_diff.py:649-696, log_images).
+
+    ``named_images``: {label: [B, H, W] or [B, H, W, C] arrays}; channels >1
+    are split into their own columns.
+    """
+    cols = []
+    for label, arr in named_images.items():
+        arr = np.asarray(arr)
+        if arr.ndim == 4:
+            for c in range(arr.shape[-1]):
+                cols.append((f"{label}[{c}]" if arr.shape[-1] > 1 else label,
+                             arr[..., c]))
+        else:
+            cols.append((label, arr))
+    rows = min(max_rows, cols[0][1].shape[0])
+    fig, axes = plt.subplots(rows, len(cols),
+                             figsize=(1.6 * len(cols), 1.6 * rows),
+                             squeeze=False)
+    for j, (label, arr) in enumerate(cols):
+        for i in range(rows):
+            ax = axes[i][j]
+            ax.imshow(_to_unit(arr[i]), cmap="gray")
+            ax.axis("off")
+            if i == 0:
+                ax.set_title(label, fontsize=7)
+    return _save(fig, out_path)
+
+
+def denoise_row(x0_frames: np.ndarray, out_path, max_frames: int = 8,
+                max_rows: int = 2) -> Path:
+    """Save the progressive-denoising row: intermediate x0 predictions along
+    the reverse chain (trainer_ds_diff log_images 'denoise_row' /
+    LatentDiffusion progressive denoising, ddpm.py:1117).
+
+    ``x0_frames``: [T, B, H, W] or [T, B, H, W, 1], ordered t=T-1 .. 0.
+    """
+    frames = np.asarray(x0_frames)
+    if frames.ndim == 5:
+        frames = frames[..., 0]
+    T = frames.shape[0]
+    keep = np.linspace(0, T - 1, min(max_frames, T)).astype(int)
+    rows = min(max_rows, frames.shape[1])
+    fig, axes = plt.subplots(rows, len(keep),
+                             figsize=(1.6 * len(keep), 1.6 * rows),
+                             squeeze=False)
+    for j, fidx in enumerate(keep):
+        for i in range(rows):
+            ax = axes[i][j]
+            ax.imshow(_to_unit(frames[fidx, i]), cmap="gray")
+            ax.axis("off")
+            if i == 0:
+                ax.set_title(f"step {fidx}", fontsize=7)
+    return _save(fig, out_path)

@@ -31,6 +31,7 @@ __all__ = [
     "EmbeddingNoiseAugmentation",
     "CLIPTextEmbedder",
     "CLIPImageEmbedder",
+    "unclip_adm_cond",
 ]
 
 
@@ -85,6 +86,37 @@ class EmbeddingNoiseAugmentation:
         noise = jax.random.normal(n_rng, z.shape, z.dtype)
         z = process.q_sample(self.sched, z, noise_level, noise)
         return z * self.std + self.mean, noise_level
+
+
+def unclip_adm_cond(
+    emb: jnp.ndarray,
+    rng: jax.Array,
+    aug: "EmbeddingNoiseAugmentation",
+    level_emb_dim: int = 0,
+    embedding_dropout: float = 0.0,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """CLIP embedding -> 'adm' vector conditioning, unCLIP style.
+
+    Mirrors ImageEmbeddingConditionedLatentDiffusion.get_input
+    (ddpm.py:1889-1903): noise-augment the embedding, append a sinusoidal
+    embedding of the noise level when ``level_emb_dim``>0, and (training
+    only) drop whole conditioning rows with prob ``embedding_dropout``.
+    """
+    from .layers import timestep_embedding
+
+    a_rng, d_rng = jax.random.split(rng)
+    noisy, level = aug(emb, a_rng)
+    if level_emb_dim > 0:
+        lvl = timestep_embedding(level.astype(jnp.float32), level_emb_dim)
+        noisy = jnp.concatenate([noisy, lvl], axis=1)
+    if not deterministic and embedding_dropout > 0:
+        keep = (
+            jax.random.uniform(d_rng, (noisy.shape[0], 1))
+            >= embedding_dropout
+        ).astype(noisy.dtype)
+        noisy = noisy * keep
+    return noisy
 
 
 def _require_transformers(weights_path):

@@ -153,10 +153,23 @@ class Trainer:
             )
             ckpt_path = cfg.get("vae_checkpoint")
             if ckpt_path:
-                from .checkpoints import CheckpointManager as _CM
+                if Path(ckpt_path).is_file():
+                    # HF/SD torch checkpoint (vae-ft-mse init capability,
+                    # autoencoder.py:111-120): safetensors or zip-pickle,
+                    # key-mapped + shape-fit onto AutoencoderKL
+                    from ..utils.torch_io import load_sd_vae
 
-                vcm = _CM(ckpt_path, keep_best=False)
-                vae_params = vcm.restore_params(vae_params, ema=False)
+                    vae_params, missing, _ = load_sd_vae(
+                        ckpt_path, vae_params
+                    )
+                    journal(self.workdir,
+                            f"vae init from {ckpt_path}: "
+                            f"{len(missing)} params kept fresh")
+                else:
+                    from .checkpoints import CheckpointManager as _CM
+
+                    vcm = _CM(ckpt_path, keep_best=False)
+                    vae_params = vcm.restore_params(vae_params, ema=False)
             self.first_stage = LatentAdapter(
                 vae, vae_params,
                 scale_factor=float(cfg.get("scale_factor", 0.18215)),
@@ -447,6 +460,7 @@ class Trainer:
         rng = jax.random.PRNGKey(0)
         tot = {"ssim": 0.0, "mae": 0.0}
         n = 0
+        first = None
         for i, batch in enumerate(self.val_loader.epoch(0)):
             if i >= max_batches:
                 break
@@ -468,12 +482,111 @@ class Trainer:
             tot["ssim"] += float(m["ssim"])
             tot["mae"] += float(m["mae"])
             n += 1
+            if first is None:
+                first = (batch, np.asarray(jax.device_get(pred)))
         out = {k: v / max(n, 1) for k, v in tot.items()}
         self.logger.logkv("val_ssim", out["ssim"])
         self.logger.logkv("val_mae", out["mae"])
         self.logger.dumpkvs()
         journal(self.workdir, f"val ssim {out['ssim']:.4f} mae {out['mae']:.4f}")
+        if first is not None and self.cfg.get("log_images", True):
+            try:
+                self._log_images(first[0], first[1])
+            except Exception as e:  # never let viz kill training
+                journal(self.workdir, f"image logging failed: {e!r}")
         return out
+
+    def _log_images(self, batch, pred):
+        """Per-val-epoch image dumps under <workdir>/images/step_<n>:
+        sample grid, progressive-denoise row, contrastive heatmaps — the
+        reference's TensorBoard image logging
+        (trainer_ds_diff.py:649-696, 771-789)."""
+        from ..eval import visualize as V
+
+        step = int(jax.device_get(self.state.step))
+        out_dir = self.workdir / "images" / f"step_{step:07d}"
+        grid = {"cond": batch["image"], "target": batch["target"],
+                "pred": pred}
+        V.image_grid(grid, out_dir / "samples.png")
+        if not self.palette:
+            if not hasattr(self, "_row_fn"):
+                self._row_fn = self._make_denoise_row_fn()
+            if self._row_fn is not None:
+                cond = jnp.asarray(batch["image"])
+                if self.first_stage is not None:
+                    cond = self.first_stage.encode_cond(
+                        cond, jax.random.PRNGKey(1))
+                frames = self._row_fn(self.state.ema_params, cond,
+                                      jax.random.PRNGKey(2))
+                frames = np.asarray(jax.device_get(frames))
+                if self.first_stage is not None:
+                    frames = np.stack([
+                        np.asarray(jax.device_get(
+                            self.first_stage.decode_batch(jnp.asarray(f))
+                        )) for f in frames
+                    ])
+                V.denoise_row(frames, out_dir / "denoise_row.png")
+        if self.task.feature_kind == "ds":
+            feats = self._val_features(batch)
+            if feats is not None:
+                V.disentangle_heatmaps(feats, out_dir)
+
+    def _make_denoise_row_fn(self):
+        """Jitted DDIM loop collecting intermediate x0 predictions
+        (progressive denoising capability, ddpm.py:1117 + log_images
+        denoise_row)."""
+        from ..core import sampling as S
+
+        if self.cfg.get("net_mode") == "ds_diff_split":
+            return None  # cached-cond sampler has its own closure
+        model = self.model
+        task = self.task
+        rsched = self.rsched
+        out_ch = self.base_out
+        clip = bool(self.cfg.get("clip_denoised", True))
+
+        def fn(params, cond, rng):
+            x_rng, loop_rng = jax.random.split(rng)
+            B, H, W, _ = cond.shape
+            x_T = jax.random.normal(x_rng, (B, H, W, out_ch), jnp.float32)
+
+            def denoise(x, t_model):
+                out = model.apply(
+                    params, jnp.concatenate([x, cond], axis=-1), t_model
+                )
+                return out[0] if isinstance(out, tuple) else out
+
+            _, x0s = S.ddim_sample_loop(
+                rsched, denoise, x_T, loop_rng,
+                parameterization=task.parameterization,
+                learn_sigma=task.learn_sigma, clip_denoised=clip,
+                collect_x0=True,
+            )
+            return x0s
+
+        return jax.jit(fn)
+
+    def _val_features(self, batch):
+        """One noised forward to capture the DSUNet feature dict for the
+        heatmap dump (trainer_use_gaussian_diff.py:472-475)."""
+        target = jnp.asarray(batch["target"])
+        cond = jnp.asarray(batch["image"])
+        if self.first_stage is not None:
+            return None
+        B = target.shape[0]
+        t = jnp.full((B,), self.sched.num_timesteps // 2, jnp.int32)
+        from ..core import process
+
+        noise = jax.random.normal(jax.random.PRNGKey(3), target.shape)
+        xt = process.q_sample(self.sched, target, t, noise)
+        out = self.model.apply(
+            self.state.ema_params,
+            jnp.concatenate([xt, cond], axis=-1),
+            process.model_timestep(self.sched, t),
+        )
+        if isinstance(out, tuple) and isinstance(out[1], dict):
+            return jax.device_get(out[1])
+        return None
 
     # --------------------------------------------------------------- predict
     def predict(

@@ -141,3 +141,44 @@ def test_fid_discriminates():
     f_same = fid(real, same)
     f_diff = fid(real, diff)
     assert f_same < f_diff
+
+
+def test_cw_ssim_matches_scipy_cwt():
+    """Our ricker-CWT reproduces scipy.signal.cwt (the pyssim dependency,
+    reference test_metrics.py:304-323)."""
+    from dsdiff_tpu.eval.metrics import _cwt_ricker
+
+    scipy_signal = pytest.importorskip("scipy.signal")
+    if not hasattr(scipy_signal, "cwt"):
+        pytest.skip("scipy.signal.cwt removed in this scipy")
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=200)
+    widths = np.arange(1, 8)
+    ref = scipy_signal.cwt(sig, scipy_signal.ricker, widths)
+    got = _cwt_ricker(sig, widths)
+    np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_cw_ssim_identity_and_degradation():
+    from dsdiff_tpu.eval.metrics import cw_ssim_slice, cw_ssim_volume
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (24, 24))
+    same = cw_ssim_slice(img, img)
+    assert same > 0.999
+    noisy = cw_ssim_slice(img, img + rng.normal(0, 60, img.shape))
+    assert noisy < same
+    vol = rng.uniform(0, 1, (16, 16, 3))
+    v_same = cw_ssim_volume(vol, vol)
+    v_noisy = cw_ssim_volume(vol, np.clip(vol + rng.normal(
+        0, 0.5, vol.shape), 0, 1))
+    assert v_same > 0.999 and v_noisy < v_same
+
+
+def test_evaluate_volume_has_cw_ssim():
+    from dsdiff_tpu.eval.metrics import evaluate_volume
+
+    rng = np.random.default_rng(2)
+    vol = rng.uniform(-1, 1, (16, 16, 2))
+    row = evaluate_volume(vol, vol * 0.9, with_cw_ssim=True)
+    assert "cw_ssim" in row and np.isfinite(row["cw_ssim"])

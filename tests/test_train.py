@@ -132,6 +132,11 @@ def test_end_to_end_fit_predict_resume(tmp_path):
     assert tr.mesh.devices.size == 8
     step = tr.fit(num_epochs=1, max_steps=2, log_every=1, val_every_epochs=1)
     assert step >= 1
+    # per-val-epoch image dumps (trainer_ds_diff.py:649-696 log_images)
+    img_dirs = sorted((tmp_path / "run" / "images").glob("step_*"))
+    assert img_dirs, "no validation image dumps"
+    assert (img_dirs[-1] / "samples.png").exists()
+    assert (img_dirs[-1] / "denoise_row.png").exists()
     out_dir, _ = tr.predict()
     preds = sorted(p.name for p in out_dir.glob("*_pred.nii.gz"))
     assert len(preds) == 4
@@ -367,4 +372,35 @@ def test_cfg_sampling_pipeline(tmp_path):
     step = tr.fit(num_epochs=1, max_steps=1, log_every=1,
                   val_every_epochs=1)
     assert step == 1
+    tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_flagship_image_dumps_with_heatmaps(tmp_path):
+    """ds_diff_gaussian validation dumps sample grid, denoise row AND the
+    contrastive heatmaps (trainer_use_gaussian_diff.py:472-475)."""
+    from dsdiff_tpu.train import Trainer
+
+    data = _tiny_dataset(tmp_path, keys=("a", "al", "l", "gt"))
+    cfg = Config.wrap(dict(
+        net_mode="ds_diff_gaussian", train_keys=["a", "al", "l", "gt"],
+        h5_2d_img_dir=str(data), image_size=16,
+        train_batch_size=8, val_batch_size=8, fold_K=2, fold_idx=0,
+        diffusion_steps=10, learn_sigma=True, parameterization="v",
+        disentangle_distance="eu", contrast_lambda=0.5,
+        unet_config={"params": {"model_channels": 8, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [2],
+                                "num_heads": 2}},
+        num_epochs=1, lr=1e-3,
+        sampler_setting={"sampler": "ddim", "sample_steps": 4},
+        seed=3, bf16=False,
+    ))
+    tr = Trainer(cfg, tmp_path / "run")
+    tr.fit(num_epochs=1, max_steps=1, log_every=1, val_every_epochs=1)
+    img_dirs = sorted((tmp_path / "run" / "images").glob("step_*"))
+    assert img_dirs
+    files = {p.name for p in img_dirs[-1].iterdir()}
+    assert "samples.png" in files and "denoise_row.png" in files
+    assert "heatmap_c_s.png" in files and "heatmap_s_a_l.png" in files
     tr.ckpt.close()
