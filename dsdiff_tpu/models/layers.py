@@ -31,6 +31,7 @@ __all__ = [
     "Upsample",
     "Downsample",
     "SEBlock",
+    "SpectralNormConv",
     "zero_init",
     "default_init",
 ]
@@ -203,6 +204,56 @@ class ResBlock(nn.Module):
                 name="skip",
             )(x)
         return x + h
+
+
+class SpectralNormConv(nn.Module):
+    """Conv with spectrally-normalized kernel (reference SpectralNorm,
+    UNet_DS_Diff/model.py:65-132).
+
+    The reference carries a persistent power-iteration vector ``u`` updated
+    once per forward; here the iteration runs ``n_iter`` steps from a fixed
+    deterministic start every call — stateless (jit/GSPMD-friendly) and
+    converged to the same sigma for practical n_iter.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = 1
+    n_iter: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features), jnp.float32,
+        )
+        w = kernel.reshape(-1, self.features)  # [N, out]
+        u = jnp.full((self.features,), 1.0 / math.sqrt(self.features),
+                     jnp.float32)
+        for _ in range(self.n_iter):
+            v = w @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = w.T @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+        sigma = v @ (w @ u)
+        w_sn = (kernel / sigma).astype(self.dtype)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_sn, window_strides=self.strides,
+            padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class SEBlock(nn.Module):

@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["FFParser", "SegUNet", "sliding_window_inference"]
+__all__ = [
+    "FFParser",
+    "SegUNet",
+    "HighwayUNet",
+    "MedSegDiffUNet",
+    "sliding_window_inference",
+]
 
 Dtype = Any
 
@@ -111,6 +117,177 @@ class SegUNet(nn.Module):
         if self.deep_supervision:
             return seg_outputs[::-1]  # highest resolution first
         return seg_outputs[-1]
+
+
+class HighwayUNet(nn.Module):
+    """Condition-side 'highway' network of MedSegDiff
+    (Generic_UNet(highway=True / anchor_out=True), seg_UNet.py:2267-2525).
+
+    A SegUNet trunk whose encoder can FUSE features handed over from the
+    diffusion U-Net: at each level the external feature is 1x1-projected,
+    FFParser-filtered, and turned into a multiplicative spatial gate ``ha``
+    plus a channel gate ``hb`` (seg_UNet.py:2493-2502: x = x * ha * hb).
+
+    Returns, per mode:
+    - fuse mode (``hs`` given): (bottleneck embedding [B, h', w', emb_dim],
+      cal seg map) — UNetModel_v1preview's ``uemb``/``cal`` (:794-802),
+    - anchor mode (``hs`` None, ``anchor_out``): (list of full-res decoder
+      anchor maps, cal) — UNetModel_newpreview's ``anch``/``cal``
+      (:1096-1102).
+    """
+
+    in_channels: int = 3
+    base_features: int = 32
+    num_pool: int = 4
+    max_features: int = 320
+    emb_dim: int = 512
+    num_classes: int = 1
+    anchor_out: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _feat(self, level):
+        return min(self.base_features * (2**level), self.max_features)
+
+    @nn.compact
+    def __call__(self, x, hs=None):
+        h = x.astype(self.dtype)
+        skips = []
+        for lvl in range(self.num_pool):
+            f = self._feat(lvl)
+            h = _ConvBlock(f, 1, dtype=self.dtype, name=f"down_{lvl}_a")(h)
+            h = _ConvBlock(f, 1, dtype=self.dtype, name=f"down_{lvl}_b")(h)
+            skips.append(h)
+            # pool THEN fuse, so external diffusion features (which arrive
+            # post-downsample, at /2^(lvl+1)) gate at matching resolution
+            # (Generic_UNet.forward: td[d] before the hs fusion, :2491-2502)
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            if hs is not None and lvl < len(hs):
+                ext = hs[lvl].astype(self.dtype)
+                ext = nn.Conv(f, (1, 1), dtype=self.dtype,
+                              name=f"hw_{lvl}_proj")(ext)
+                ext = FFParser(ext.shape[1], ext.shape[2],
+                               name=f"hw_{lvl}_ff")(ext)
+                ha = nn.Conv(f, (1, 1), dtype=self.dtype,
+                             name=f"hw_{lvl}_gate")(ext)
+                hb = jnp.mean(ext, axis=(1, 2), keepdims=True)
+                h = h * ha * hb
+        f = self._feat(self.num_pool)
+        h = _ConvBlock(f, 1, dtype=self.dtype, name="bottleneck_a")(h)
+        h = _ConvBlock(f, 1, dtype=self.dtype, name="bottleneck_b")(h)
+        emb = nn.Conv(self.emb_dim, (1, 1), dtype=self.dtype,
+                      name="emb_proj")(h)
+
+        anchors = []
+        for lvl in reversed(range(self.num_pool)):
+            f = self._feat(lvl)
+            h = nn.ConvTranspose(f, (2, 2), strides=(2, 2),
+                                 dtype=self.dtype, name=f"up_{lvl}_tr")(h)
+            h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
+            h = _ConvBlock(f, 1, dtype=self.dtype, name=f"up_{lvl}_a")(h)
+            h = _ConvBlock(f, 1, dtype=self.dtype, name=f"up_{lvl}_b")(h)
+            if self.anchor_out and lvl <= 1:
+                # full-res anchor maps (upscale_logits capability)
+                a = h
+                if lvl > 0:
+                    B, H, W, C = a.shape
+                    a = jax.image.resize(
+                        a, (B, H * 2**lvl, W * 2**lvl, C), "bilinear"
+                    )
+                anchors.append(a.astype(jnp.float32))
+        cal = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                      name="seg_out")(h).astype(jnp.float32)
+        if self.anchor_out:
+            return anchors[::-1], cal  # highest-resolution first
+        return emb.astype(jnp.float32), cal
+
+
+class MedSegDiffUNet(nn.Module):
+    """MedSegDiff denoiser variants (seg_UNet.py UNetModel_v1preview :497-803
+    and UNetModel_newpreview :805-1110), TPU-native.
+
+    The input is ``[x_t | condition image]`` along channels (x_t first,
+    ``xt_channels`` wide — the step._denoiser concat convention; the
+    reference keeps x_t last, a pure layout choice). Two highway modes:
+
+    - ``mode='highway'`` (v1preview): the condition runs through
+      :class:`HighwayUNet` fused with the diffusion encoder's per-level
+      downsample features; its bottleneck embedding is added before the
+      middle block (:794-795).
+    - ``mode='anchor'`` (newpreview): the highway runs on the condition
+      alone; its full-res anchor maps are added (stop-gradient) to the stem
+      activation (:1096-1102).
+
+    Returns (eps/v prediction, {"cal": calibration seg map}).
+    """
+
+    xt_channels: int = 1
+    out_channels: int = 1
+    model_channels: int = 32
+    num_res_blocks: int = 1
+    attention_resolutions: tuple = (8,)
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_heads: int = 4
+    mode: str = "highway"  # 'highway' | 'anchor'
+    highway_features: int = 32
+    use_scale_shift_norm: bool = True
+    dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, *, deterministic: bool | None = None, **_):
+        from .backbone import OutHead, UNetDecoder, UNetMiddle, UNetEncoder
+        from .layers import TimeEmbed
+
+        det = self.deterministic if deterministic is None else deterministic
+        cond = x[..., self.xt_channels:]
+        emb = TimeEmbed(self.model_channels, 4 * self.model_channels,
+                        dtype=self.dtype, name="time_embed")(t)
+        common = dict(
+            model_channels=self.model_channels,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=tuple(self.attention_resolutions),
+            channel_mult=tuple(self.channel_mult),
+            num_heads=self.num_heads,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dropout=self.dropout, deterministic=det, dtype=self.dtype,
+        )
+        n_pool = len(self.channel_mult) - 1
+        hwm = HighwayUNet(
+            in_channels=cond.shape[-1],
+            base_features=self.highway_features,
+            num_pool=n_pool,
+            anchor_out=(self.mode == "anchor"),
+            dtype=self.dtype, name="hwm",
+        )
+        h, skips = UNetEncoder(name="encoder", **common)(x, emb)
+        if self.mode == "anchor":
+            anchors, cal = hwm(cond)
+            a1 = anchors[1] if len(anchors) > 1 else anchors[0]
+            anch = jnp.concatenate([anchors[0], anchors[0], a1], axis=-1)
+            boost = nn.Conv(
+                self.model_channels, (1, 1), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="anchor_proj",
+            )(jax.lax.stop_gradient(anch).astype(self.dtype))
+            # stem fusion (:1100-1102): skips[0] is the in_conv output
+            skips[0] = skips[0] + boost
+        else:
+            # per-level downsampled encoder features -> highway fusion
+            # (reference hs[3], hs[6], hs[9], hs[12] at nrb=2, :794)
+            per_level = [
+                skips[(self.num_res_blocks + 1) * (d + 1)]
+                for d in range(n_pool)
+            ]
+            uemb, cal = hwm(cond, hs=per_level)
+            uemb = jax.image.resize(
+                uemb, h.shape[:3] + (uemb.shape[-1],), "bilinear"
+            )
+            h = h + nn.Conv(h.shape[-1], (1, 1), dtype=self.dtype,
+                            name="uemb_proj")(uemb.astype(self.dtype))
+        h = UNetMiddle(name="middle", **common)(h, emb)
+        h = UNetDecoder(name="decoder", **common)(h, skips, emb)
+        out = OutHead(self.out_channels, dtype=self.dtype, name="out")(h)
+        return out, {"cal": cal}
 
 
 def _gaussian_importance(tile: int) -> np.ndarray:

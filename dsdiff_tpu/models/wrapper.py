@@ -77,6 +77,16 @@ def conditioned_call(
     raise ValueError(f"unknown conditioning mode '{mode}'")
 
 
+def _medseg(mode):
+    def make(**kw):
+        from .seg_unet import MedSegDiffUNet
+
+        kw.pop("in_channels", None)
+        return MedSegDiffUNet(mode=mode, **kw)
+
+    return make
+
+
 MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "unet": UNet,
     "dsunet": DSUNet,
@@ -84,6 +94,8 @@ MODEL_REGISTRY: dict[str, Callable[..., Any]] = {
     "disc_unet": DiscUNet,
     "dit": DiT,
     "autoencoder_kl": AutoencoderKL,
+    "medseg_v1": _medseg("highway"),
+    "medseg_new": _medseg("anchor"),
     **{name.lower(): (lambda n: (lambda **kw: make_dit(n, **kw)))(name)
        for name in DIT_CONFIGS},
 }

@@ -38,19 +38,28 @@ __all__ = ["ContentDiscriminator", "make_adversarial_steps"]
 
 class ContentDiscriminator(nn.Module):
     """Small conv classifier over bottleneck content features -> stream
-    logits (MD_Dis_content capability, model.py:135-149; GroupNorm replaces
-    InstanceNorm/SpectralNorm so the jitted step stays purely functional)."""
+    logits (MD_Dis_content capability, model.py:135-149). With
+    ``use_spectral_norm`` (the reference default — SpectralNorm at
+    model.py:65-132) the convs are spectrally normalized via stateless power
+    iteration, keeping the jitted step purely functional."""
 
     n_streams: int = 3
     base_channels: int = 64
+    use_spectral_norm: bool = True
 
     @nn.compact
     def __call__(self, f: jnp.ndarray) -> jnp.ndarray:
+        from ..models.layers import SpectralNormConv
+
         h = f
         ch = self.base_channels
         for i in range(3):
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
-                        name=f"conv{i}")(h)
+            if self.use_spectral_norm:
+                h = SpectralNormConv(ch, (3, 3), strides=(2, 2), padding=1,
+                                     name=f"conv{i}")(h)
+            else:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                            name=f"conv{i}")(h)
             h = nn.GroupNorm(num_groups=min(32, ch), name=f"norm{i}")(h)
             h = nn.leaky_relu(h, 0.2)
             ch *= 2

@@ -157,6 +157,7 @@ def make_sample_fn(
     full_sched: DiffusionSchedule | None = None,
     sample_steps: int | None = None,
     solver_options: dict | None = None,
+    patch_params: dict | None = None,
 ):
     """Returns jitted (params, cond, rng) -> samples [B, H, W, C].
 
@@ -177,23 +178,45 @@ def make_sample_fn(
         out_ch = out_channels
         x_rng, loop_rng = jax.random.split(rng)
         x_T = jax.random.normal(x_rng, (B, H, W, out_ch), jnp.float32)
-        raw = _denoiser(apply_fn, params, cond, train=False)
 
-        def denoise_cond(x, t_model):
-            out = raw(x, t_model)
-            # feature-returning models (DSUNet/DiscUNet) yield (out, aux)
-            return out[0] if isinstance(out, tuple) else out
+        def make_denoise(c):
+            if patch_params:
+                # fold/unfold split-input mode (ddpm.py:857-927): one
+                # batched model call over all overlapping tiles
+                from ..core import patching
 
-        if task.cfg_scale != 1.0:
-            raw_u = _denoiser(apply_fn, params, jnp.zeros_like(cond),
-                              train=False)
+                ks = tuple(patch_params.get("ks", (64, 64)))
+                stride = tuple(patch_params.get("stride", ks))
+                wkeys = ("clip_min_weight", "clip_max_weight", "tie_braker",
+                         "clip_min_tie_weight", "clip_max_tie_weight")
+                wparams = {k: patch_params[k] for k in wkeys
+                           if k in patch_params}
 
-            def denoise_uncond(x, t_model):
-                out = raw_u(x, t_model)
+                def tile_fn(xin, t_tiles):
+                    out = apply_fn(params, xin, t_tiles)
+                    return out[0] if isinstance(out, tuple) else out
+
+                def denoise(x, t_model):
+                    return patching.patched_apply(
+                        tile_fn, x, t_model, ks, stride, cond=c, **wparams
+                    )
+
+                return denoise
+
+            raw = _denoiser(apply_fn, params, c, train=False)
+
+            def denoise(x, t_model):
+                out = raw(x, t_model)
+                # feature models (DSUNet/DiscUNet) yield (out, aux)
                 return out[0] if isinstance(out, tuple) else out
 
+            return denoise
+
+        denoise_cond = make_denoise(cond)
+        if task.cfg_scale != 1.0:
             denoise = sampling.cfg_wrap(
-                denoise_cond, denoise_uncond, task.cfg_scale
+                denoise_cond, make_denoise(jnp.zeros_like(cond)),
+                task.cfg_scale,
             )
         else:
             denoise = denoise_cond

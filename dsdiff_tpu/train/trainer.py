@@ -307,6 +307,7 @@ class Trainer:
                     full_sched=self.sched,
                     sample_steps=self.sample_steps,
                     solver_options=solver_opts,
+                    patch_params=cfg.get("split_input_params"),
                 )
         self.val_metrics = make_val_metrics()
 
@@ -530,6 +531,27 @@ class Trainer:
             feats = self._val_features(batch)
             if feats is not None:
                 V.disentangle_heatmaps(feats, out_dir)
+
+    def progressive_denoise(self, cond, rng=None):
+        """Sample with the intermediate x0 predictions collected along the
+        chain (LatentDiffusion.progressive_denoising capability,
+        ddpm.py:1117 / sample_log). Returns (final [B,H,W,C],
+        intermediates [T,B,H,W,C])."""
+        if not hasattr(self, "_row_fn"):
+            self._row_fn = self._make_denoise_row_fn()
+        assert self._row_fn is not None, (
+            "progressive denoising unavailable for this net_mode"
+        )
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        cond = jnp.asarray(cond)
+        if self.first_stage is not None:
+            rng, erng = jax.random.split(rng)
+            cond = self.first_stage.encode_cond(cond, erng)
+        frames = self._row_fn(self.state.ema_params, cond, rng)
+        final = frames[-1]
+        if self.first_stage is not None:
+            final = self.first_stage.decode_batch(final)
+        return final, frames
 
     def _make_denoise_row_fn(self):
         """Jitted DDIM loop collecting intermediate x0 predictions
