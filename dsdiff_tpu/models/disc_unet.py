@@ -63,6 +63,9 @@ class DiscUNet(nn.Module):
     num_head_channels: int = -1
     use_scale_shift_norm: bool = True
     resblock_updown: bool = False
+    # 'sequential' (dense per-stream convs, TPU-fast) | 'vmap' (grouped
+    # convs; params carry a leading [n_streams] axis) — see DSUNet
+    stream_mode: str = "sequential"
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -100,14 +103,27 @@ class DiscUNet(nn.Module):
         emb = TimeEmbed(ch0, ch0 * 4, dtype=self.dtype, name="time_embed")(t)
 
         kw = self._common_kw(deterministic)
-        StreamEncoder = nn.vmap(
-            UNetEncoder,
-            in_axes=(0, None),
-            out_axes=0,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-        )
-        h_all, skips_all = StreamEncoder(**kw, name="encoders")(streams, emb)
+        if self.stream_mode == "sequential":
+            outs = [
+                UNetEncoder(**kw, name=f"encoder_{s}")(streams[s], emb)
+                for s in range(n)
+            ]
+            h_all = jnp.stack([o[0] for o in outs], axis=0)
+            skips_all = [
+                jnp.stack(parts, axis=0)
+                for parts in zip(*[o[1] for o in outs])
+            ]
+        else:
+            StreamEncoder = nn.vmap(
+                UNetEncoder,
+                in_axes=(0, None),
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            h_all, skips_all = StreamEncoder(**kw, name="encoders")(
+                streams, emb
+            )
 
         conv_ch = h_all.shape[-1]
         half = conv_ch // 2

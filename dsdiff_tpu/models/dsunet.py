@@ -92,6 +92,11 @@ class DSUNet(nn.Module):
     transformer_depth: int = 1
     use_fft_attention: bool = False
     fusion: str = "concat"  # 'concat' | 'crossattn'
+    # 'sequential': four dense per-stream encoders (TPU-fast — grouped convs
+    # from the vmapped form run ~1.3-1.8x slower on the MXU at the flagship's
+    # shapes); 'vmap': one encoder vmapped over the stream axis (params carry
+    # a leading [4] axis)
+    stream_mode: str = "sequential"
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -163,17 +168,34 @@ class DSUNet(nn.Module):
         emb = TimeEmbed(ch0, time_dim, dtype=self.dtype, name="time_embed")(t)
 
         kw = self._common(deterministic)
-        # one encoder vmapped over the stream axis, per-stream params
-        StreamEncoder = nn.vmap(
-            UNetEncoder,
-            in_axes=(0, None, None),
-            out_axes=0,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-        )
-        h_all, skips_all = StreamEncoder(**kw, name="encoders")(
-            streams, emb, context
-        )
+        if self.stream_mode == "sequential":
+            # four dense per-stream encoders: XLA lowers the vmapped form to
+            # feature_group_count=4 grouped convs, which the MXU runs at
+            # ~0.55-0.75x the dense-conv rate at 256^2/128^2 (measured,
+            # scripts/grouped_conv_probe.py) — sequential dense calls win
+            outs = [
+                UNetEncoder(**kw, name=f"encoder_{s}")(
+                    streams[s], emb, context
+                )
+                for s in range(N_STREAMS)
+            ]
+            h_all = jnp.stack([o[0] for o in outs], axis=0)
+            skips_all = [
+                jnp.stack(parts, axis=0)
+                for parts in zip(*[o[1] for o in outs])
+            ]
+        else:
+            # one encoder vmapped over the stream axis, per-stream params
+            StreamEncoder = nn.vmap(
+                UNetEncoder,
+                in_axes=(0, None, None),
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            h_all, skips_all = StreamEncoder(**kw, name="encoders")(
+                streams, emb, context
+            )
         # h_all: [4, B, h, w, ch]; skips_all: list of [4, B, ...]
         h_n = UNetMiddle(**kw, name="middle")(h_all[0], emb, context)
         h_a, h_al, h_l = h_all[1], h_all[2], h_all[3]

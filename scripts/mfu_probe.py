@@ -12,7 +12,11 @@ Variants: flagship (4-stream vmapped), singlestream (one UNetEncoder),
 grouped (streams folded to channels).
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -164,11 +168,30 @@ def main():
             arg = (params, x, t)
         out = jfwd(*arg)
         jax.block_until_ready(out)
+        # independent dispatches overlap on the tunneled device (and
+        # identical ones may be cached), so time a data-dependent scan
+        # chain — each forward consumes the previous output, exactly like
+        # the sampler loop the bench measures
         reps = 10
+
+        @jax.jit
+        def chain(params, x0, t):
+            import jax.lax as lax
+
+            def body(carry, _):
+                o = fwd(params, carry, t)
+                nxt = carry.at[..., : o.shape[-1]].add(
+                    1e-6 * o.astype(carry.dtype)
+                )
+                return nxt, ()
+
+            return lax.scan(body, x0, None, length=reps)[0]
+
+        outc = chain(arg[0], x, *arg[2:])
+        jax.block_until_ready(outc)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = jfwd(*arg)
-        jax.block_until_ready(out)
+        outc = chain(arg[0], x + 1e-5, *arg[2:])
+        jax.block_until_ready(outc)
         dt = (time.perf_counter() - t0) / reps
         fl = dsunet_forward_flops(b)
         if args.variant == "singlestream":

@@ -10,6 +10,7 @@
 5. p_mean_variance supports FIXED_LARGE variance for the OpenAI-parity
    ancestral sampler.
 """
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +31,7 @@ def _tiny_trainer_cfg(net_mode, T=100):
     ))
 
 
+@pytest.mark.slow
 def test_openai_linear_schedule_parity(tmp_path):
     """ADVICE high: flagship 'linear' must equal OpenAI
     get_named_beta_schedule('linear') = (1000/T)*linspace(1e-4, 2e-2, T)."""

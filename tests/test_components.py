@@ -159,6 +159,7 @@ def test_sliding_window_inference():
     assert set(np.unique(labels)) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_encoder_unet_and_guidance():
     from dsdiff_tpu.models import EncoderUNet, classifier_gradient
 
@@ -179,16 +180,30 @@ def test_weight_surgery():
     from dsdiff_tpu.train.surgery import filtered_load, fit_tensor, make_it_fit
 
     old = np.arange(6, dtype=np.float32).reshape(2, 3)
+    # reference make_it_fit (ddpm.py:250-260): modulo-cycle both axes, then
+    # divide by its ones-INITIALIZED input-axis use counter — each input
+    # channel used once => counter 1+1=2, so values come back halved
     out = fit_tensor(old, (4, 3))
-    np.testing.assert_allclose(out[2:], old)  # cycled rows
+    np.testing.assert_allclose(out[2:], old / 2.0)  # cycled rows
+    np.testing.assert_allclose(out[:2], old / 2.0)
     out2 = fit_tensor(old, (2, 2))
-    np.testing.assert_allclose(out2, old[:, :2])
+    np.testing.assert_allclose(out2, old[:, :2] / 2.0)
+    # input-axis growth: channel 0 used twice -> counter 3, channel 1 -> 2
+    out3 = fit_tensor(np.ones((2, 2), np.float32), (2, 3))
+    np.testing.assert_allclose(out3[:, 0], 1 / 3.0)
+    np.testing.assert_allclose(out3[:, 1], 1 / 2.0)
+    np.testing.assert_allclose(out3[:, 2], 1 / 3.0)
+    # rank-1 params cycle without normalization (reference len(shape)==1 arm)
+    np.testing.assert_allclose(
+        fit_tensor(np.array([1.0, 2.0], np.float32), (4,)),
+        [1.0, 2.0, 1.0, 2.0],
+    )
 
     target = {"a": {"w": np.zeros((4, 3), np.float32)},
               "b": np.ones((2,), np.float32)}
     loaded = {"a": {"w": old}}
     fitted = make_it_fit(loaded, target)
-    np.testing.assert_allclose(fitted["a"]["w"][:2], old)
+    np.testing.assert_allclose(fitted["a"]["w"][:2], old / 2.0)
     np.testing.assert_allclose(fitted["b"], 1.0)  # kept fresh init
 
     fl = filtered_load({"a": {"w": np.full((4, 3), 7.0)}, }, target,
@@ -208,6 +223,7 @@ def test_profiling_utils():
     assert flops > 0
 
 
+@pytest.mark.slow
 def test_vae_gan_steps():
     from dsdiff_tpu.models import AutoencoderKL, PatchDiscriminator
     from dsdiff_tpu.train.state import TrainState, make_optimizer
@@ -302,6 +318,7 @@ def test_composite_distance():
     assert float(fn2(x, x)) < 1e-5
 
 
+@pytest.mark.slow
 def test_adversarial_disentangle_steps():
     from dsdiff_tpu.core.schedules import DiffusionSchedule
     from dsdiff_tpu.models import DSUNet

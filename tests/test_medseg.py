@@ -43,6 +43,7 @@ def test_highway_fusion_uses_external_features():
     assert cal1.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_anchor_mode_gradient_blocked():
     """Anchor features enter the stem via stop_gradient
     (UNetModel_newpreview :1102 .detach()): the highway receives no gradient

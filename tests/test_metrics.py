@@ -132,6 +132,7 @@ def test_frechet_distance_golden():
     np.testing.assert_allclose(st.cov, np.cov(X.T), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_fid_discriminates():
     from dsdiff_tpu.eval.fid import fid
 

@@ -93,17 +93,54 @@ def test_dsunet_outputs_and_features():
 
 
 def test_dsunet_per_stream_params_differ():
-    """The vmapped encoder must own distinct per-stream weights (the
-    reference deep-copies its 4 encoders, model.py:522-524)."""
+    """Each stream must own distinct weights (the reference deep-copies its
+    4 encoders, model.py:522-524) — in both stream execution modes."""
+    # sequential (default): four named encoder submodules
     m = DSUNet(in_channels=4, out_channels=1, **TINY)
     x = jnp.zeros((1, 32, 32, 4))
     params = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
-    enc = params["params"]["encoders"]
-    leaves = jax.tree.leaves(enc)
+    encs = [params["params"][f"encoder_{s}"] for s in range(4)]
+    k0 = jax.tree.leaves(encs[0])
+    k1 = jax.tree.leaves(encs[1])
+    assert any(
+        a.shape == b.shape and float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(k0, k1) if a.ndim > 2
+    )
+    # vmap mode: one encoder collection with a leading stream axis
+    mv = DSUNet(in_channels=4, out_channels=1, stream_mode="vmap", **TINY)
+    pv = mv.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    leaves = jax.tree.leaves(pv["params"]["encoders"])
     assert all(l.shape[0] == 4 for l in leaves)  # stream axis everywhere
-    # random init -> streams differ on at least one (non-bias) kernel
     assert any(
         float(jnp.max(jnp.abs(l[0] - l[1]))) > 0 for l in leaves if l.ndim > 2
+    )
+
+
+def test_dsunet_stream_modes_agree():
+    """sequential and vmap modes compute the same function when fed the
+    same per-stream weights (the sequential path is a TPU-side lowering
+    choice, not a semantic change)."""
+    mv = DSUNet(in_channels=4, out_channels=1, stream_mode="vmap", **TINY)
+    ms = DSUNet(in_channels=4, out_channels=1, stream_mode="sequential",
+                **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+    t = jnp.full((2,), 3.0)
+    pv = mv.init(jax.random.PRNGKey(0), x, t)
+    ps = ms.init(jax.random.PRNGKey(0), x, t)
+    # copy vmap's stacked per-stream encoder weights into the four
+    # sequential submodules
+    new = dict(ps["params"])
+    for s in range(4):
+        new[f"encoder_{s}"] = jax.tree.map(
+            lambda a: a[s], pv["params"]["encoders"]
+        )
+        # non-encoder params are shared verbatim
+    shared = {k: v for k, v in pv["params"].items() if k != "encoders"}
+    new.update(shared)
+    out_v, _ = mv.apply(pv, x, t)
+    out_s, _ = ms.apply({"params": new}, x, t)
+    np.testing.assert_allclose(
+        np.asarray(out_v), np.asarray(out_s), atol=2e-5
     )
 
 

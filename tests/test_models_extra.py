@@ -114,6 +114,7 @@ def test_build_model_registry():
         build_model("nope")
 
 
+@pytest.mark.slow
 def test_dsunet_split_cached_equivalence():
     from dsdiff_tpu.models.dsunet_cached import DSUNetSplit, \
         make_cached_denoiser

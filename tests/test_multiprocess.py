@@ -135,6 +135,7 @@ def _run_workers(tmp_path, nproc: int, devices_per_proc: int):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_step_matches_single(tmp_path):
     _write_dataset(tmp_path / "data")
     two = _run_workers(tmp_path, nproc=2, devices_per_proc=2)

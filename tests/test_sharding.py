@@ -131,6 +131,7 @@ def test_sampler_seed_determinism():
     assert float(jnp.abs(o1 - o3).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     """The driver's multichip dry run must pass on the CPU mesh."""
     import importlib.util

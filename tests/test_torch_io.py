@@ -267,6 +267,7 @@ def test_basic_conv2d_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_inception_fid_extractor(tmp_path):
     """A torchvision-named inception checkpoint loads completely and yields
     2048-d pool3 features; FID(x, x)=0 and FID(x, y)>0 through it."""

@@ -150,6 +150,7 @@ def test_end_to_end_fit_predict_resume(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_latent_pipeline_e2e(tmp_path):
     from dsdiff_tpu.train import Trainer
 
@@ -187,6 +188,7 @@ def test_latent_pipeline_e2e(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_vae_gan_loop(tmp_path):
     from dsdiff_tpu.train.vae_loop import VaeTrainer
 
@@ -207,6 +209,7 @@ def test_vae_gan_loop(tmp_path):
     t.ckpt.close()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_palette_pipeline_e2e(tmp_path):
     from dsdiff_tpu.train import Trainer
@@ -234,6 +237,7 @@ def test_palette_pipeline_e2e(tmp_path):
     tr.ckpt.close()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_disc_diff_pipeline_e2e(tmp_path):
     from dsdiff_tpu.train import Trainer
@@ -264,6 +268,7 @@ def test_disc_diff_pipeline_e2e(tmp_path):
     tr.ckpt.close()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_dit_pipeline_e2e(tmp_path):
     from dsdiff_tpu.train import Trainer
@@ -317,6 +322,7 @@ def test_shannon_curriculum_warmup_e2e(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_ds_diff_split_pipeline_e2e(tmp_path):
     """DSUNetSplit net_mode: training full-forward + cached-cond sampling."""
     from dsdiff_tpu.train import Trainer
@@ -347,6 +353,7 @@ def test_ds_diff_split_pipeline_e2e(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_cfg_sampling_pipeline(tmp_path):
     """cond_dropout training + cfg_scale guided sampling run end-to-end."""
     from dsdiff_tpu.train import Trainer
@@ -375,6 +382,7 @@ def test_cfg_sampling_pipeline(tmp_path):
     tr.ckpt.close()
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_flagship_image_dumps_with_heatmaps(tmp_path):
     """ds_diff_gaussian validation dumps sample grid, denoise row AND the
