@@ -276,11 +276,14 @@ def make_val_metrics():
         t = target[..., 0]
         ssim = M.ssim(t, p, data_range=2.0)
         mae = jnp.mean(jnp.abs(p - t), axis=(1, 2))
+        mse = jnp.mean((p - t) ** 2, axis=(1, 2))
+        psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))  # range 2.0
         w = valid.astype(jnp.float32)
         denom = jnp.maximum(w.sum(), 1.0)
         return {
             "ssim": (ssim * w).sum() / denom,
             "mae": (mae * w).sum() / denom,
+            "psnr": (psnr * w).sum() / denom,
         }
 
     return jax.jit(fn)

@@ -459,7 +459,7 @@ class Trainer:
     def validate(self, max_batches: int = 8) -> dict:
         assert self.val_loader is not None
         rng = jax.random.PRNGKey(0)
-        tot = {"ssim": 0.0, "mae": 0.0}
+        tot = {"ssim": 0.0, "mae": 0.0, "psnr": 0.0}
         n = 0
         first = None
         for i, batch in enumerate(self.val_loader.epoch(0)):
@@ -482,14 +482,18 @@ class Trainer:
             m = jax.device_get(m)
             tot["ssim"] += float(m["ssim"])
             tot["mae"] += float(m["mae"])
+            tot["psnr"] += float(m.get("psnr", 0.0))
             n += 1
             if first is None:
                 first = (batch, np.asarray(jax.device_get(pred)))
         out = {k: v / max(n, 1) for k, v in tot.items()}
         self.logger.logkv("val_ssim", out["ssim"])
         self.logger.logkv("val_mae", out["mae"])
+        self.logger.logkv("val_psnr", out["psnr"])
         self.logger.dumpkvs()
-        journal(self.workdir, f"val ssim {out['ssim']:.4f} mae {out['mae']:.4f}")
+        journal(self.workdir,
+                f"val ssim {out['ssim']:.4f} mae {out['mae']:.4f} "
+                f"psnr {out['psnr']:.2f}")
         if first is not None and self.cfg.get("log_images", True):
             try:
                 self._log_images(first[0], first[1])
