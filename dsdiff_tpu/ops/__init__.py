@@ -38,16 +38,40 @@ def _xla_attention(q, k, v):
     return jax.nn.dot_product_attention(q, k, v)
 
 
+def _stock_flash_attention(q, k, v):
+    """jax's tuned TPU flash-attention kernel (pallas.ops.tpu), BNHD<->BHND
+    layout adapted. Forward-only custom_vjp against the XLA math (same
+    pattern as ops.flash_attention — exact gradients, no bwd kernel)."""
+    import math
+
+    from jax.experimental.pallas.ops.tpu import flash_attention as sfa
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = sfa.flash_attention(
+        qt, kt, vt, sm_scale=1.0 / math.sqrt(q.shape[-1])
+    )
+    return o.transpose(0, 2, 1, 3)
+
+
 def scaled_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     """Multi-head attention, layout [B, N, heads, head_dim] (BTNH).
 
-    Dispatches to the Pallas flash-attention kernel on TPU when the sequence
+    Dispatches to a Pallas flash-attention kernel on TPU when the sequence
     and head dims are tile-aligned, otherwise to the XLA path.
+    ``DSDIFF_ATTN_IMPL`` overrides: 'pallas' (ours) | 'stock' (jax's tuned
+    kernel) | 'xla'.
     """
+    impl = os.environ.get("DSDIFF_ATTN_IMPL", "")
+    if impl == "xla":
+        return _xla_attention(q, k, v)
     if use_pallas():
         from .flash_attention import flash_attention, supports
 
         if supports(q, k, v):
+            if impl == "stock":
+                return _stock_flash_attention(q, k, v)
             return flash_attention(q, k, v)
     return _xla_attention(q, k, v)
 

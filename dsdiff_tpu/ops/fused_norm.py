@@ -29,13 +29,18 @@ _CHUNK = 1024  # spatial rows per VMEM tile
 
 
 def supports(x, num_groups: int) -> bool:
-    """Measured win region on v5e (scripts/kernel_bench.py): the fused
-    kernel beats XLA at small spatial extents with wide channels (1.27x at
-    64^2 x 192); XLA's own fusion wins at large spatial (0.65x at
-    256^2 x 96). Gate accordingly."""
+    """Win region measured END-TO-END on v5e (isolated chain microbenches
+    carry a ~2.7 ms/step scan-launch floor on the tunneled backend that
+    swamps sub-ms ops — PROFILE.md §6): the flagship forward is fastest
+    with the fused kernel at <=64^2 spatial and wide channels; widening to
+    128^2/96ch was A/B-tested end-to-end and did not help."""
+    import os
+
     B, H, W, C = x.shape
     if C % num_groups or (H * W) % 8:
         return False
+    if os.environ.get("DSDIFF_GN_WIDE", "0") == "1":  # A/B knob
+        return H * W <= 128 * 128 and C >= 96
     return H * W <= 64 * 64 and C >= 128
 
 
