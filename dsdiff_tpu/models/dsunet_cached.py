@@ -50,6 +50,10 @@ class DSUNetSplit(nn.Module):
     num_head_channels: int = -1
     use_scale_shift_norm: bool = True
     resblock_updown: bool = False
+    # 'sequential' (three dense condition encoders — TPU-fast, see
+    # PROFILE.md §3) | 'vmap' (grouped convs; cond params carry a leading
+    # [3] axis)
+    stream_mode: str = "sequential"
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -75,14 +79,19 @@ class DSUNetSplit(nn.Module):
             self.model_channels, self.model_channels * 4, dtype=self.dtype
         )
         self.noise_encoder = UNetEncoder(**kw)
-        CondEncoder = nn.vmap(
-            UNetEncoder,
-            in_axes=(0, None, None),
-            out_axes=0,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-        )
-        self.cond_encoders = CondEncoder(**kw)
+        if self.stream_mode == "sequential":
+            self.cond_encoder_list = [
+                UNetEncoder(**kw, name=f"cond_encoder_{s}") for s in range(3)
+            ]
+        else:
+            CondEncoder = nn.vmap(
+                UNetEncoder,
+                in_axes=(0, None, None),
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            self.cond_encoders = CondEncoder(**kw)
         self.middle = UNetMiddle(**kw)
         conv_ch = self.model_channels * self.channel_mult[-1]
         half = conv_ch // 2
@@ -106,8 +115,21 @@ class DSUNetSplit(nn.Module):
         """
         emb = self.time_embed(t_ref)
         streams = jnp.stack([cond[..., i : i + 1] for i in range(3)], axis=0)
-        h_cond, skips_cond = self.cond_encoders(streams, emb, None)
-        return h_cond, skips_cond
+        return self._encode_cond_streams(streams, emb)
+
+    def _encode_cond_streams(self, streams, emb):
+        if self.stream_mode == "sequential":
+            outs = [
+                enc(streams[s], emb, None)
+                for s, enc in enumerate(self.cond_encoder_list)
+            ]
+            h_cond = jnp.stack([o[0] for o in outs], axis=0)
+            skips_cond = [
+                jnp.stack(parts, axis=0)
+                for parts in zip(*[o[1] for o in outs])
+            ]
+            return h_cond, skips_cond
+        return self.cond_encoders(streams, emb, None)
 
     def _fuse_and_decode(self, h_n, h_cond, skips_n, skips_cond, emb):
         B = h_n.shape[0]
@@ -182,7 +204,7 @@ class DSUNetSplit(nn.Module):
         h_n, skips_n = self.noise_encoder(x[..., 0:1], emb, None)
         h_n = self.middle(h_n, emb, None)
         streams = jnp.stack([x[..., i : i + 1] for i in (1, 2, 3)], axis=0)
-        h_cond, skips_cond = self.cond_encoders(streams, emb, None)
+        h_cond, skips_cond = self._encode_cond_streams(streams, emb)
         return self._fuse_and_decode(h_n, h_cond, skips_n, skips_cond, emb)
 
 

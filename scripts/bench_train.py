@@ -48,14 +48,23 @@ def main():
         "target": jax.random.normal(jax.random.PRNGKey(1), (batch, H, H, 1)),
         "image": jax.random.normal(jax.random.PRNGKey(2), (batch, H, H, 3)),
     }
+    import numpy as np
+
+    def fetch(v):
+        # device_get barrier: block_until_ready alone can return before the
+        # tunneled device finishes (PROFILE.md §1)
+        return float(np.asarray(v["loss"]))
+
     rng = jax.random.PRNGKey(3)
     state, sampler, m = step_fn(state, sampler, batch_data, rng)
-    jax.block_until_ready(m)
+    fetch(m)
+    # successive steps consume the previous state (donated), so the chain is
+    # data-dependent and cannot overlap or be served from a dispatch cache
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         state, sampler, m = step_fn(state, sampler, batch_data, rng)
-    jax.block_until_ready(m)
+    fetch(m)
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
         "metric": "dsunet_256_train_steps_per_sec_per_chip",

@@ -135,5 +135,12 @@ def test_dsunet_split_cached_equivalence():
                                atol=1e-5)
     # separate per-stream condition params + distinct noise encoder
     assert "noise_encoder" in params["params"]
-    cond_leaf = jax.tree.leaves(params["params"]["cond_encoders"])[0]
+    for s in range(3):
+        assert f"cond_encoder_{s}" in params["params"]
+    # vmap mode keeps the stacked [3, ...] condition params
+    mv = DSUNetSplit(model_channels=16, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=2, stream_mode="vmap", dtype=jnp.float32)
+    pv = mv.init(jax.random.PRNGKey(1), x, t)
+    cond_leaf = jax.tree.leaves(pv["params"]["cond_encoders"])[0]
     assert cond_leaf.shape[0] == 3
