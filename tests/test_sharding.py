@@ -89,6 +89,38 @@ def test_fsdp_sharded_params_execute():
     assert np.isfinite(float(jax.device_get(metrics["loss"])))
 
 
+def test_dp8_sampling_matches_single_device():
+    """Batch-parallel DDIM sampling over the data axis == single device
+    (the production serving layout: slices sharded over chips)."""
+    from dsdiff_tpu.train.step import make_sample_fn
+
+    model = UNet(in_channels=2, out_channels=1, **TINY)
+    B, H = 8, 16
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H, H, 2)), jnp.zeros((1,)))
+    betas = schedules.make_beta_schedule("linear", 20)
+    rsched = schedules.respace(betas, schedules.space_timesteps(20, "5"))
+    task = TaskConfig(parameterization="eps", loss_type="l2")
+    sample_fn = make_sample_fn(model.apply, rsched, task, "ddim")
+    cond_np = np.random.default_rng(0).normal(size=(B, H, H, 1)).astype(
+        np.float32)
+    rng = jax.random.PRNGKey(3)
+
+    outs = {}
+    for name, mesh in [
+        ("dp8", pmesh.make_mesh(n_data=8, n_fsdp=1)),
+        ("dp1", pmesh.make_mesh(n_data=1, n_fsdp=1,
+                                devices=jax.devices()[:1])),
+    ]:
+        p = jax.device_put(params, pmesh.replicated(mesh))
+        cond = jax.device_put(cond_np, pmesh.batch_sharding(mesh))
+        with jax.set_mesh(mesh):
+            out = sample_fn(p, cond, rng)
+        outs[name] = np.asarray(jax.device_get(out))
+    np.testing.assert_allclose(outs["dp8"], outs["dp1"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_explicit_noise_bit_determinism():
     """Same explicit noise arrays -> bit-identical losses across runs."""
     model = UNet(in_channels=2, out_channels=1, **TINY)
