@@ -66,6 +66,15 @@ def main():
         state, sampler, m = step_fn(state, sampler, batch_data, rng)
     fetch(m)
     dt = (time.perf_counter() - t0) / n
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for k_src, k_out in (("bytes_in_use", "hbm_in_use_gb"),
+                             ("peak_bytes_in_use", "hbm_peak_gb")):
+            if k_src in stats:
+                mem[k_out] = round(stats[k_src] / 2**30, 2)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "dsunet_256_train_steps_per_sec_per_chip",
         "value": round(1.0 / dt, 3),
@@ -74,6 +83,7 @@ def main():
         "batch": batch,
         "step_latency_s": round(dt, 4),
         "loss": float(m["loss"]),
+        **mem,
     }))
 
 
