@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PerceptualLoss", "LPIPS", "VGG16Features", "load_vgg16_lpips"]
+__all__ = ["PerceptualLoss", "LPIPS", "VGG16Features", "load_vgg16_lpips",
+           "ResNet50Features", "RadPerceptual", "load_resnet50_perceptual"]
 
 # torchvision VGG16 `features` conv indices per block
 _VGG16_LAYOUT = (
@@ -167,6 +168,180 @@ def load_vgg16_lpips(vgg_path, lpips_path=None) -> LPIPS:
     return LPIPS(params, lins)
 
 
+_RESNET50_BLOCKS = (3, 4, 6, 3)
+_RESNET50_MIDS = (64, 128, 256, 512)
+
+
+class _AffineBN(nn.Module):
+    """Inference-mode BatchNorm folded to a per-channel affine; the folded
+    scale/bias are computed from torch running stats at load time."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * s + b
+
+
+class _Bottleneck(nn.Module):
+    mid: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.mid * 4
+        h = nn.Conv(self.mid, (1, 1), use_bias=False, name="conv1")(x)
+        h = nn.relu(_AffineBN(self.mid, name="bn1")(h))
+        h = nn.Conv(self.mid, (3, 3), strides=(self.stride,) * 2,
+                    padding=1, use_bias=False, name="conv2")(h)
+        h = nn.relu(_AffineBN(self.mid, name="bn2")(h))
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(h)
+        h = _AffineBN(out_ch, name="bn3")(h)
+        if self.downsample:
+            x = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, name="down_conv")(x)
+            x = _AffineBN(out_ch, name="down_bn")(x)
+        return nn.relu(h + x)
+
+
+class ResNet50Features(nn.Module):
+    """torchvision ResNet50 trunk emitting the four layer outputs — the
+    RadImageNet perceptual backbone (reference
+    loss_function/perceptual_loss.py network_type 'radimagenet_resnet50' /
+    'resnet50'; RadImageNet publishes torchvision-ResNet50-shaped weights).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        h = nn.relu(_AffineBN(64, name="bn1")(h))
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        feats = []
+        for li, (n_blocks, mid) in enumerate(
+            zip(_RESNET50_BLOCKS, _RESNET50_MIDS)
+        ):
+            for bi in range(n_blocks):
+                stride = 2 if (bi == 0 and li > 0) else 1
+                h = _Bottleneck(
+                    mid, stride=stride, downsample=(bi == 0),
+                    name=f"layer{li + 1}_{bi}",
+                )(h)
+            feats.append(h)
+        return feats
+
+
+def _fold_bn(sd, prefix, eps=1e-5):
+    g = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    m = np.asarray(sd[f"{prefix}.running_mean"], np.float32)
+    v = np.asarray(sd[f"{prefix}.running_var"], np.float32)
+    scale = g / np.sqrt(v + eps)
+    return scale, b - m * scale
+
+
+def map_resnet50(sd: dict) -> dict:
+    """torchvision ResNet50 state_dict -> ResNet50Features flax paths
+    (BN running stats folded into _AffineBN scale/bias)."""
+    out = {}
+
+    def conv(flax, torch_key):
+        out[f"params/{flax}/kernel"] = np.transpose(
+            np.asarray(sd[torch_key]), (2, 3, 1, 0)
+        )
+
+    def bn(flax, torch_prefix):
+        s, b = _fold_bn(sd, torch_prefix)
+        out[f"params/{flax}/scale"] = s
+        out[f"params/{flax}/bias"] = b
+
+    conv("conv1", "conv1.weight")
+    bn("bn1", "bn1")
+    for li, n_blocks in enumerate(_RESNET50_BLOCKS):
+        for bi in range(n_blocks):
+            t = f"layer{li + 1}.{bi}"
+            f = f"layer{li + 1}_{bi}"
+            for j in (1, 2, 3):
+                conv(f"{f}/conv{j}", f"{t}.conv{j}.weight")
+                bn(f"{f}/bn{j}", f"{t}.bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                conv(f"{f}/down_conv", f"{t}.downsample.0.weight")
+                bn(f"{f}/down_bn", f"{t}.downsample.1")
+    return out
+
+
+# imagenet preprocessing (RadImageNet training distribution)
+_IMNET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMNET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class RadPerceptual:
+    """RadImageNet-style perceptual distance over ResNet50 layer features:
+    channel-normalized per-layer squared differences, spatial+channel mean,
+    summed over the four layers (MONAI-generative semantics the reference's
+    PerceptualLoss wraps)."""
+
+    def __init__(self, params):
+        self.net = ResNet50Features()
+        self.params = params
+        self._fn = jax.jit(self._distance)
+
+    def _distance(self, params, x, y):
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+            y = jnp.repeat(y, 3, axis=-1)
+        # [-1,1] -> imagenet-normalized
+        xs = ((x + 1.0) * 0.5 - _IMNET_MEAN) / _IMNET_STD
+        ys = ((y + 1.0) * 0.5 - _IMNET_MEAN) / _IMNET_STD
+        fx = self.net.apply(params, xs)
+        fy = self.net.apply(params, ys)
+        total = 0.0
+        for a, b in zip(fx, fy):
+            d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
+            total = total + jnp.mean(d, axis=(1, 2, 3))
+        return total
+
+    def __call__(self, x, y):
+        return self._fn(self.params, x, y)
+
+    def distance_fn(self):
+        params, dist = self.params, self._distance
+
+        def fn(x, y):
+            return dist(params, x, y)
+
+        return fn
+
+
+def load_resnet50_perceptual(path) -> RadPerceptual:
+    """Build the RadImageNet/ResNet50 perceptual metric from a local
+    torchvision-format checkpoint (.pth zip-pickle or .safetensors)."""
+    from ..utils import torch_io
+
+    sd = torch_io.load_checkpoint(path)
+    # RadImageNet releases sometimes nest under 'model.' / 'backbone.'
+    for pref in ("model.", "backbone.", "module."):
+        if any(k.startswith(pref) for k in sd):
+            sd = {k[len(pref):] if k.startswith(pref) else k: v
+                  for k, v in sd.items()}
+    mapped = map_resnet50(sd)
+    net = ResNet50Features()
+    target = jax.eval_shape(net.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))
+    target = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), target)
+    params, missing, _ = torch_io.assign(target, mapped, make_fit=False)
+    if missing:
+        raise ValueError(
+            f"ResNet50 weights incomplete: missing {missing[:5]}"
+        )
+    return RadPerceptual(params)
+
+
 class _FeaturePyramid(nn.Module):
     widths: tuple = (32, 64, 128, 256)
 
@@ -191,17 +366,25 @@ class PerceptualLoss:
     channels like the reference (contperceptual.py:54-55).
 
     ``weights_path`` may be: a torchvision VGG16 / taming vgg.pth checkpoint
-    (-> real LPIPS), a pickled _FeaturePyramid param tree (legacy), or None
-    (-> the random-feature proxy). ``lpips_path`` optionally supplies the
-    lpips lin heads separately.
+    (-> real LPIPS), a torchvision/RadImageNet ResNet50 checkpoint with
+    ``network_type='radimagenet'`` (-> :class:`RadPerceptual` — the
+    reference's 'radimagenet_resnet50'/'resnet50' backends), a pickled
+    _FeaturePyramid param tree (legacy), or None (-> the random-feature
+    proxy). ``lpips_path`` optionally supplies the lpips lin heads
+    separately.
     """
 
     def __init__(self, seed: int = 0, weights_path: str | None = None,
-                 lpips_path: str | None = None):
+                 lpips_path: str | None = None,
+                 network_type: str = "lpips"):
         self._lpips = None
         if weights_path and Path(weights_path).exists():
             try:
-                self._lpips = load_vgg16_lpips(weights_path, lpips_path)
+                if network_type in ("radimagenet", "radimagenet_resnet50",
+                                    "resnet50"):
+                    self._lpips = load_resnet50_perceptual(weights_path)
+                else:
+                    self._lpips = load_vgg16_lpips(weights_path, lpips_path)
             except Exception:
                 import pickle
 

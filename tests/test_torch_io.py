@@ -316,3 +316,83 @@ def test_inception_fid_extractor(tmp_path):
     fid_diff = fid(x, y, extractor=extractor, batch=2)
     assert fid_same < 0.2 * fid_diff, (fid_same, fid_diff)
     np.testing.assert_allclose(extractor(x[:2]), feats, rtol=1e-5)
+
+
+def _resnet50_state_dict(rng):
+    """Random torchvision-ResNet50-shaped state dict (torchvision absent in
+    this image; the layout is fixed by the architecture)."""
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_mean"] = torch.randn(c) * 0.1
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+
+    sd["conv1.weight"] = torch.randn(64, 3, 7, 7) * 0.05
+    bn("bn1", 64)
+    inplanes = 64
+    for li, (n_blocks, mid) in enumerate(zip((3, 4, 6, 3),
+                                             (64, 128, 256, 512))):
+        for bi in range(n_blocks):
+            t = f"layer{li + 1}.{bi}"
+            sd[f"{t}.conv1.weight"] = torch.randn(mid, inplanes, 1, 1) * 0.05
+            bn(f"{t}.bn1", mid)
+            sd[f"{t}.conv2.weight"] = torch.randn(mid, mid, 3, 3) * 0.05
+            bn(f"{t}.bn2", mid)
+            sd[f"{t}.conv3.weight"] = torch.randn(mid * 4, mid, 1, 1) * 0.05
+            bn(f"{t}.bn3", mid * 4)
+            if bi == 0:
+                sd[f"{t}.downsample.0.weight"] = \
+                    torch.randn(mid * 4, inplanes, 1, 1) * 0.05
+                bn(f"{t}.downsample.1", mid * 4)
+            inplanes = mid * 4
+    return sd
+
+
+def test_affine_bn_matches_torch_eval_batchnorm():
+    """_fold_bn + _AffineBN == torch BatchNorm2d in eval mode."""
+    from dsdiff_tpu.eval.perceptual import _AffineBN, _fold_bn
+
+    c = 16
+    torch.manual_seed(0)
+    bn = torch.nn.BatchNorm2d(c)
+    bn.weight.data = torch.rand(c) + 0.5
+    bn.bias.data = torch.randn(c) * 0.1
+    bn.running_mean.data = torch.randn(c) * 0.2
+    bn.running_var.data = torch.rand(c) + 0.5
+    bn.eval()
+    x = torch.randn(2, c, 8, 8)
+    want = bn(x).detach().numpy().transpose(0, 2, 3, 1)
+
+    sd = {"b.weight": bn.weight.data, "b.bias": bn.bias.data,
+          "b.running_mean": bn.running_mean.data,
+          "b.running_var": bn.running_var.data}
+    s, b = _fold_bn(sd, "b")
+    m = _AffineBN(c)
+    params = {"params": {"scale": jnp.asarray(s), "bias": jnp.asarray(b)}}
+    got = np.asarray(m.apply(params, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_radimagenet_resnet50_perceptual(tmp_path):
+    """The RadImageNet/ResNet50 perceptual backend constructs from a local
+    torchvision-format checkpoint (perceptual_loss.py network_type
+    'radimagenet_resnet50'): complete key map, zero on identical inputs,
+    positive and jit-stable otherwise."""
+    from dsdiff_tpu.eval.perceptual import PerceptualLoss
+
+    torch.manual_seed(1)
+    sd = _resnet50_state_dict(None)
+    p = tmp_path / "radimagenet_resnet50.pth"
+    torch.save(sd, p)
+    pl = PerceptualLoss(weights_path=str(p), network_type="radimagenet")
+    assert pl.is_real_lpips
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 1)) * 0.5
+    y = x + 0.3 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    d_same = np.asarray(pl(x, x))
+    d_diff = np.asarray(pl(x, y))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-5)
+    assert (d_diff > 0).all()
