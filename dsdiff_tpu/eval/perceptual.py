@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["PerceptualLoss", "LPIPS", "VGG16Features", "load_vgg16_lpips",
-           "ResNet50Features", "RadPerceptual", "load_resnet50_perceptual"]
+           "ResNet50Features", "RadPerceptual", "load_resnet50_perceptual",
+           "fake_3d_distance"]
 
 # torchvision VGG16 `features` conv indices per block
 _VGG16_LAYOUT = (
@@ -340,6 +341,35 @@ def load_resnet50_perceptual(path) -> RadPerceptual:
             f"ResNet50 weights incomplete: missing {missing[:5]}"
         )
     return RadPerceptual(params)
+
+
+def fake_3d_distance(distance_fn, x, y, axes=(0, 1, 2),
+                     ratio: float = 1.0, seed: int = 0):
+    """Reference PerceptualLoss fake-3D mode
+    (loss_function/perceptual_loss.py ``fake_3d_ratio``): score 3D volumes
+    [B, H, W, D] by slicing along each spatial axis, running the 2D
+    perceptual ``distance_fn`` on (a fraction ``ratio`` of) the slices
+    folded into the batch, and averaging over axes.
+
+    ``distance_fn``: (x2d [N,h,w,1], y2d) -> [N] distances (from
+    :meth:`PerceptualLoss.distance_fn`). Slice subsampling is evenly
+    strided (deterministic; ``seed`` rotates the starting offset).
+    """
+    assert x.ndim == 4, "expect [B, H, W, D] volumes"
+    totals = []
+    for ax in axes:
+        # move the slicing axis to position 1: [B, S, a, b]
+        perm = [0] + [1 + ax] + [i + 1 for i in range(3) if i != ax]
+        xv = jnp.transpose(x, perm)
+        yv = jnp.transpose(y, perm)
+        B, S = xv.shape[:2]
+        n_keep = max(int(round(S * ratio)), 1)
+        idx = (jnp.arange(n_keep) * S // n_keep + seed) % S
+        xs = xv[:, idx].reshape((B * n_keep,) + xv.shape[2:] + (1,))
+        ys = yv[:, idx].reshape((B * n_keep,) + yv.shape[2:] + (1,))
+        d = distance_fn(xs, ys).reshape(B, n_keep)
+        totals.append(jnp.mean(d, axis=1))
+    return jnp.mean(jnp.stack(totals), axis=0)
 
 
 class _FeaturePyramid(nn.Module):

@@ -183,3 +183,23 @@ def test_evaluate_volume_has_cw_ssim():
     vol = rng.uniform(-1, 1, (16, 16, 2))
     row = evaluate_volume(vol, vol * 0.9, with_cw_ssim=True)
     assert "cw_ssim" in row and np.isfinite(row["cw_ssim"])
+
+
+def test_fake_3d_perceptual():
+    """fake-3D mode: 3D volumes scored via sliced 2D perceptual distance
+    (perceptual_loss.py fake_3d_ratio); zero on identical volumes, positive
+    otherwise, and slice subsampling works."""
+    import jax
+
+    from dsdiff_tpu.eval.perceptual import PerceptualLoss, fake_3d_distance
+
+    pl = PerceptualLoss(seed=0)
+    fn = pl.distance_fn()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8)) * 0.5
+    y = x + 0.3 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    d0 = np.asarray(fake_3d_distance(fn, x, x))
+    d1 = np.asarray(fake_3d_distance(fn, x, y))
+    d_sub = np.asarray(fake_3d_distance(fn, x, y, ratio=0.5))
+    np.testing.assert_allclose(d0, 0.0, atol=1e-6)
+    assert (d1 > 0).all() and (d_sub > 0).all()
+    assert d0.shape == (2,)
