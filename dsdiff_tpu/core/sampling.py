@@ -86,8 +86,15 @@ def p_sample_loop(
     clip_denoised: bool = True,
     collect_x0: bool = False,
     variance_type: str = "fixed_small",
+    guidance_fn: DenoiseFn | None = None,
 ):
-    """Ancestral DDPM sampling (reference gaussian_diffusion.py:344-430)."""
+    """Ancestral DDPM sampling (reference gaussian_diffusion.py:344-430).
+
+    ``guidance_fn(x, t_model) -> grad log p(y|x)`` enables classifier
+    guidance via the reference's ``condition_mean`` (:386-398):
+    mean += variance * grad. Build the gradient with
+    :func:`dsdiff_tpu.models.encoder_unet.classifier_gradient`.
+    """
     T = sched.num_timesteps
 
     def body(carry: _Loop, i):
@@ -97,6 +104,11 @@ def p_sample_loop(
             sched, denoise_fn, carry.x, t, parameterization, learn_sigma,
             clip_denoised, variance_type,
         )
+        if guidance_fn is not None:
+            B = carry.x.shape[0]
+            tb = jnp.full((B,), t, dtype=jnp.int32)
+            grad = guidance_fn(carry.x, process.model_timestep(sched, tb))
+            pmv = pmv._replace(mean=pmv.mean + pmv.variance * grad)
         noise = jax.random.normal(key, carry.x.shape, carry.x.dtype)
         nonzero = jnp.float32(t != 0)
         x = pmv.mean + nonzero * jnp.exp(0.5 * pmv.log_variance) * noise
@@ -130,12 +142,17 @@ def ddim_sample_loop(
     clip_denoised: bool = True,
     eta: float = 0.0,
     collect_x0: bool = False,
+    guidance_fn: DenoiseFn | None = None,
 ):
     """DDIM (eq. 12) over a re-spaced schedule.
 
     Reference gaussian_diffusion.py:620-789 / ddim.py:188-261, including the
     eta-sigma term and v-param support. ``sched`` should be the re-spaced
     schedule from :func:`dsdiff_tpu.core.schedules.respace`.
+
+    ``guidance_fn(x, t_model) -> grad log p(y|x)`` applies the reference's
+    ``condition_score`` (:400-421): eps' = eps - sqrt(1-acp_t) * grad, with
+    pred_x0 re-derived from the rescored eps.
     """
     T = sched.num_timesteps
     sqrt_acp_prev, dir_coef, sigma_t = _ddim_tables(sched, eta)
@@ -148,6 +165,19 @@ def ddim_sample_loop(
             sched, denoise_fn, carry.x, t, parameterization, learn_sigma,
             clip_denoised,
         )
+        if guidance_fn is not None:
+            B = carry.x.shape[0]
+            tb = jnp.full((B,), t, dtype=jnp.int32)
+            grad = guidance_fn(carry.x, process.model_timestep(sched, tb))
+            eps = pmv.eps - jnp.sqrt(
+                1.0 - sched.alphas_cumprod[t]
+            ) * grad
+            pred_x0 = process.predict_x0_from_eps(
+                sched, carry.x, tb, eps
+            )
+            if clip_denoised:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            pmv = pmv._replace(eps=eps, pred_x0=pred_x0)
         x = sqrt_acp_prev[t] * pmv.pred_x0 + dir_coef[t] * pmv.eps
         if stochastic:
             rng, key = jax.random.split(rng)

@@ -127,3 +127,31 @@ def test_ddim_reverse_step_equation():
         + np.sqrt(1 - acp_next) * np.asarray(eps_re)
     )
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_classifier_guidance_shifts_samples():
+    """guidance_fn wiring (reference condition_mean :386-398 /
+    condition_score :400-421): a constant positive grad-log-p shifts the
+    sample distribution positive in both ancestral and DDIM loops."""
+    sched = schedules.DiffusionSchedule.named("linear", 20)
+
+    def denoise(x, t):
+        return jnp.zeros_like(x)  # eps = 0
+
+    def guide(x, t):
+        return jnp.ones_like(x) * 2.0
+
+    xT = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 1))
+    base_a = sampling.p_sample_loop(
+        sched, denoise, xT, jax.random.PRNGKey(1), clip_denoised=False)
+    guided_a = sampling.p_sample_loop(
+        sched, denoise, xT, jax.random.PRNGKey(1), clip_denoised=False,
+        guidance_fn=guide)
+    assert float(jnp.mean(guided_a)) > float(jnp.mean(base_a))
+
+    base_d = sampling.ddim_sample_loop(
+        sched, denoise, xT, jax.random.PRNGKey(1), clip_denoised=False)
+    guided_d = sampling.ddim_sample_loop(
+        sched, denoise, xT, jax.random.PRNGKey(1), clip_denoised=False,
+        guidance_fn=guide)
+    assert float(jnp.mean(guided_d)) > float(jnp.mean(base_d))
