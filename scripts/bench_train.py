@@ -29,11 +29,12 @@ H = 256
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    remat = len(sys.argv) < 3 or sys.argv[2] != "noremat"
     model = DSUNet(
         in_channels=4, model_channels=96, out_channels=2,
         num_res_blocks=2, attention_resolutions=(8, 16, 32),
         channel_mult=(1, 1, 2, 2, 3, 3), num_head_channels=48,
-        use_scale_shift_norm=True, remat=True, dtype=jnp.bfloat16,
+        use_scale_shift_norm=True, remat=remat, dtype=jnp.bfloat16,
     )
     x = jnp.zeros((1, H, H, 4), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
@@ -82,6 +83,7 @@ def main():
         "slices_per_sec": round(batch / dt, 2),
         "batch": batch,
         "step_latency_s": round(dt, 4),
+        "remat": remat,
         "loss": float(m["loss"]),
         **mem,
     }))
