@@ -114,6 +114,9 @@ class VaeTrainer:
             log_every: int = 50):
         cfg = self.cfg
         num_epochs = num_epochs or int(cfg.get("num_epochs", 100))
+        # reference ModelCheckpoint 'checkpoint_epoch' cadence; saving every
+        # epoch floods the async Orbax queue when epochs are a few steps
+        ckpt_every = max(int(cfg.get("checkpoint_epoch", 1)), 1)
         step = int(jax.device_get(self.vae_state.step))
         for epoch in range(num_epochs):
             t0 = time.time()
@@ -137,12 +140,15 @@ class VaeTrainer:
                 if max_steps and step >= max_steps:
                     break
             rec = float(jax.device_get(m["rec_loss"]))
-            self.ckpt.save(step, self.vae_state,
-                           metrics={"neg_rec_loss": -rec})
-            journal(self.workdir,
-                    f"vae epoch {epoch} rec_loss {rec:.4f} "
-                    f"({time.time()-t0:.1f}s)")
-            if max_steps and step >= max_steps:
+            done = bool(max_steps and step >= max_steps)
+            last = epoch == num_epochs - 1
+            if (epoch + 1) % ckpt_every == 0 or done or last:
+                self.ckpt.save(step, self.vae_state,
+                               metrics={"neg_rec_loss": -rec})
+                journal(self.workdir,
+                        f"vae epoch {epoch} rec_loss {rec:.4f} "
+                        f"({time.time()-t0:.1f}s)")
+            if done:
                 break
         self.ckpt.wait()
         return step

@@ -58,6 +58,22 @@ MODES = {
                 ViT_config={"params": {"input_size": HW, "patch_size": 4,
                                        "hidden_size": 256, "depth": 6,
                                        "num_heads": 8}}),
+    "palette": dict(net_mode="palette", unet_config=UNET,
+                    disentangle_distance=None),
+    # latent: f4 VAE (random-init, trained jointly frozen? no — frozen
+    # random first stage is useless for quality; this leg demonstrates the
+    # full latent machinery on hardware, quality tracks the VAE)
+    "latent": dict(
+        net_mode="latent", disentangle_distance=None, scale_by_std=True,
+        first_stage={"params": {"ch": 32, "ch_mult": [1, 2],
+                                "num_res_blocks": 1, "z_channels": 3,
+                                "embed_dim": 3}},
+        unet_config={"params": {"model_channels": 48, "num_res_blocks": 1,
+                                "channel_mult": [1, 2],
+                                "attention_resolutions": [2],
+                                "num_heads": 4,
+                                "use_scale_shift_norm": True}},
+    ),
 }
 
 
