@@ -468,6 +468,22 @@ def _sample_multistep(ns, fn, x, fine_ts: np.ndarray, order: int,
     return step_i(c, jnp.asarray(steps - 1))
 
 
+def _adaptive_error(x_higher, x_lower, x_prev, atol: float, rtol: float):
+    """Embedded-pair error norm for the adaptive controller.
+
+    Per-sample RMS over the non-batch axes, gated on the WORST sample —
+    the reference takes ``norm_fn(...).max()`` over the batch
+    (sampler.py:996), so one far-off sample cannot be hidden by an easy
+    rest-of-batch mean (ADVICE r2 low).
+    """
+    delta = jnp.maximum(
+        atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(x_prev))
+    )
+    sq = ((x_higher - x_lower) / delta) ** 2
+    per_sample = jnp.sqrt(jnp.mean(sq.reshape(sq.shape[0], -1), axis=1))
+    return jnp.max(per_sample)
+
+
 def _sample_adaptive(ns, fn, x, t_T: float, t_0: float, order: int,
                      plusplus: bool, h_init: float = 0.05,
                      atol: float = 0.0078, rtol: float = 0.05,
@@ -524,10 +540,7 @@ def _sample_adaptive(ns, fn, x, t_T: float, t_0: float, order: int,
             x_higher = _update3(ns, fn, c.x, s, t, plusplus, s1=s1,
                                 m_s=m_s, m_s1=m_s1)
             nfe_step = 3
-        delta = jnp.maximum(
-            atol, rtol * jnp.maximum(jnp.abs(x_lower), jnp.abs(c.x_prev))
-        )
-        err = jnp.sqrt(jnp.mean(((x_higher - x_lower) / delta) ** 2))
+        err = _adaptive_error(x_higher, x_lower, c.x_prev, atol, rtol)
         accept = err <= 1.0
         x_new = jnp.where(accept, x_higher, c.x)
         x_prev = jnp.where(accept, x_lower, c.x_prev)

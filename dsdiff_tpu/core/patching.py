@@ -50,6 +50,18 @@ def _offsets(size: int, k: int, s: int) -> list[int]:
     return list(range(0, size - k + 1, s))
 
 
+def _check_coverage(size: int, k: int, s: int, axis: str) -> None:
+    offs = _offsets(size, k, s)
+    if not offs or offs[-1] + k != size:
+        raise ValueError(
+            f"kernel/stride do not tile the {axis} extent: size={size}, "
+            f"kernel={k}, stride={s} leaves pixels "
+            f"[{(offs[-1] + k) if offs else 0}, {size}) uncovered, which "
+            f"would divide by a zero fold-norm (NaN output). Require "
+            f"(size - kernel) % stride == 0."
+        )
+
+
 def extract_patches(x: jnp.ndarray, kernel_size, stride) -> jnp.ndarray:
     """[B, H, W, C] -> [B, L, kh, kw, C] overlapping tiles (torch Unfold
     semantics: L = Ly*Lx, y-major)."""
@@ -72,6 +84,8 @@ def fold_patches(
     kh, kw = kernel_size
     sh, sw = stride
     H, W = out_hw
+    _check_coverage(H, kh, sh, "H")
+    _check_coverage(W, kw, sw, "W")
     B, L, _, _, C = patches.shape
     w = jnp.asarray(weighting, patches.dtype)  # [L, kh, kw]
     canvas = jnp.zeros((B, H, W, C), patches.dtype)

@@ -8,9 +8,12 @@ torchvision-layout key map: point :func:`load_inception` at a local
 :mod:`dsdiff_tpu.eval.fid` computes true FID (pool3, 2048-d).
 
 Faithful to the pt-FID variant: 3x3 stride-1 average pools use
-``count_include_pad=False``, Mixed_7c's pool branch stays average (the FID
-weights were exported from TF where 7b/7c differ only in channels). Module
-names mirror the torch names exactly so the key map is mechanical.
+``count_include_pad=False`` and Mixed_7c's pool branch uses **max** pooling
+(pytorch-fid's ``FIDInceptionE_2`` patches ``Mixed_7c`` to
+``max_pool2d(3, stride=1, padding=1)``; ``Mixed_7b``/``FIDInceptionE_1``
+stays average). ``variant='torchvision'`` keeps both average, matching plain
+torchvision ``inception_v3`` weights. Module names mirror the torch names
+exactly so the key map is mechanical.
 """
 from __future__ import annotations
 
@@ -132,6 +135,10 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # 'avg' for Mixed_7b (and torchvision Mixed_7c); 'max' for the pt-FID
+    # Mixed_7c patch (pytorch-fid FIDInceptionE_2).
+    pool_mode: str = "avg"
+
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
@@ -149,15 +156,24 @@ class InceptionE(nn.Module):
         bdb = BasicConv2d(384, (3, 1), padding=_pad((1, 0)),
                           name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
-        bp = _avg_pool3_nocount(x)
+        if self.pool_mode == "max":
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        else:
+            bp = _avg_pool3_nocount(x)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """Trunk to the 2048-d pool3 features (no aux/fc heads)."""
+    """Trunk to the 2048-d pool3 features (no aux/fc heads).
+
+    variant='pt_fid' (default) applies pytorch-fid's Mixed_7c max-pool
+    patch so features match the reference's torchmetrics FID; use
+    'torchvision' for plain torchvision inception_v3 weights.
+    """
 
     resize_input: bool = True
+    variant: str = "pt_fid"
 
     @nn.compact
     def __call__(self, x):
@@ -183,7 +199,8 @@ class InceptionV3(nn.Module):
         h = InceptionC(192, name="Mixed_6e")(h)
         h = InceptionD(name="Mixed_7a")(h)
         h = InceptionE(name="Mixed_7b")(h)
-        h = InceptionE(name="Mixed_7c")(h)
+        pool_7c = "max" if self.variant == "pt_fid" else "avg"
+        h = InceptionE(pool_mode=pool_7c, name="Mixed_7c")(h)
         return jnp.mean(h, axis=(1, 2))  # adaptive avg pool -> [B, 2048]
 
 
@@ -210,13 +227,18 @@ def map_inception(sd: dict) -> dict:
     return out
 
 
-def load_inception(path, resize_input: bool = True):
-    """Local inception checkpoint -> (module, variables) ready for FID."""
+def load_inception(path, resize_input: bool = True, variant: str = "pt_fid"):
+    """Local inception checkpoint -> (module, variables) ready for FID.
+
+    variant='pt_fid' for pt_inception-2015-12-05 weights (the FID standard,
+    what torchmetrics/pytorch-fid use); 'torchvision' for plain
+    torchvision inception_v3 weights.
+    """
     from ..utils import torch_io
 
     sd = torch_io.load_checkpoint(path)
     mapped = map_inception(sd)
-    net = InceptionV3(resize_input=resize_input)
+    net = InceptionV3(resize_input=resize_input, variant=variant)
     target = jax.eval_shape(
         net.init, jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
     )

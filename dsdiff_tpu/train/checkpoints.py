@@ -22,6 +22,48 @@ import orbax.checkpoint as ocp
 __all__ = ["CheckpointManager"]
 
 
+def _match_layout(template, restored):
+    """Match a restored pytree to the template's structure, converting the
+    DSUNet stream_mode encoder layout (vmapped <-> sequential) if that is
+    what separates them (ADVICE r2: checkpoints written before the
+    sequential-encoder default silently failed to restore)."""
+    t_def = jax.tree_util.tree_structure(template)
+    if jax.tree_util.tree_structure(restored) == t_def:
+        return restored
+    from .surgery import convert_stream_layout
+
+    converted = convert_stream_layout(restored)
+
+    def norm_key(path):
+        # dict keys, NamedTuple fields and sequence indices all stringify
+        # differently; normalize to the bare name/index per level
+        parts = []
+        for p in path:
+            for attr in ("key", "name", "idx"):
+                v = getattr(p, attr, None)
+                if v is not None:
+                    parts.append(str(v))
+                    break
+            else:
+                parts.append(str(p).strip(".[]'"))
+        return "/".join(parts)
+
+    flat = {
+        norm_key(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    t_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    try:
+        leaves = [flat[norm_key(path)] for path, _ in t_paths]
+    except KeyError as e:
+        raise ValueError(
+            "checkpoint layout does not match the model even after "
+            f"stream-layout conversion (missing {e}); check "
+            "stream_mode / architecture"
+        ) from None
+    return jax.tree_util.tree_unflatten(t_def, leaves)
+
+
 class CheckpointManager:
     def __init__(
         self,
@@ -83,9 +125,16 @@ class CheckpointManager:
                 "loss_history": sampler_state.loss_history,
                 "loss_counts": sampler_state.loss_counts,
             }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except Exception:
+            # stream_mode layout drift (vmapped 'encoders' <-> sequential
+            # 'encoder_{i}'): restore raw, rewrite the encoder layout to
+            # the template's, then re-match leaves (ADVICE r2).
+            raw = self._mgr.restore(step)
+            restored = _match_layout(template, raw)
         state = state.replace(
             step=restored["step"],
             params=restored["params"],
@@ -110,6 +159,7 @@ class CheckpointManager:
         restored = self._mgr.restore(step)
         out = restored[key]
         if params_template is not None:
+            out = _match_layout(params_template, out)
             # match the template's structure/dtypes (host numpy -> device)
             out = jax.tree.map(
                 lambda t, v: jax.numpy.asarray(v, dtype=t.dtype),

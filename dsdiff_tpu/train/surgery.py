@@ -17,7 +17,8 @@ from typing import Sequence
 import jax
 import numpy as np
 
-__all__ = ["fit_tensor", "make_it_fit", "filtered_load"]
+__all__ = ["fit_tensor", "make_it_fit", "filtered_load",
+           "convert_stream_layout"]
 
 
 def fit_tensor(old: np.ndarray, new_shape: tuple) -> np.ndarray:
@@ -116,3 +117,64 @@ def _unflatten(flat: dict, template):
                        for p in path)
         leaves.append(flat[key])
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _stacked_streams(node) -> int | None:
+    """If every leaf under ``node`` shares the same leading dim in 2..8,
+    return it (vmapped stream-axis layout), else None."""
+    leaves = jax.tree_util.tree_leaves(node)
+    if not leaves:
+        return None
+    dims = {
+        (leaf.shape[0] if getattr(leaf, "ndim", 0) >= 1 else None)
+        for leaf in leaves
+    }
+    if len(dims) == 1:
+        (d,) = dims
+        if d is not None and 2 <= d <= 8:
+            return int(d)
+    return None
+
+
+def convert_stream_layout(tree):
+    """Convert DSUNet/DiscUNet params between encoder layouts, both ways.
+
+    stream_mode='vmapped' stores the per-stream encoders as ONE subtree
+    ``encoders`` whose leaves carry a leading stream axis; 'sequential'
+    (the default since the grouped-conv perf measurement) stores
+    ``encoder_0..encoder_{n-1}`` subtrees with no stream axis. Checkpoints
+    written under one mode silently fail to restore under the other; this
+    walks any nested dict/list pytree and rewrites whichever layout it
+    finds into the other (split the stream axis -> encoder_{i}, or stack
+    encoder_{i} -> encoders).
+    """
+    if isinstance(tree, (list, tuple)):
+        out = [convert_stream_layout(v) for v in tree]
+        return type(tree)(out) if isinstance(tree, tuple) else out
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    enc_keys = sorted(
+        (k for k in tree if isinstance(k, str)
+         and k.startswith("encoder_") and k[len("encoder_"):].isdigit()),
+        key=lambda k: int(k.split("_")[-1]),
+    )
+    for k, v in tree.items():
+        if k == "encoders":
+            n = _stacked_streams(v)
+            if n is not None:
+                for i in range(n):
+                    out[f"encoder_{i}"] = jax.tree_util.tree_map(
+                        lambda leaf, i=i: leaf[i], convert_stream_layout(v)
+                    )
+                continue
+        if k in enc_keys:
+            continue  # handled below as a group
+        out[k] = convert_stream_layout(v)
+    if enc_keys:
+        subs = [convert_stream_layout(tree[k]) for k in enc_keys]
+        out["encoders"] = jax.tree_util.tree_map(
+            lambda *leaves: np.stack([np.asarray(l) for l in leaves], 0),
+            *subs,
+        )
+    return out

@@ -24,6 +24,9 @@ def tensor2im(arr: np.ndarray, imtype=np.uint8) -> np.ndarray:
     if a.shape[-1] == 1:
         a = np.repeat(a, 3, axis=-1)
     a = (a + 1.0) / 2.0 * 255.0
+    # clip passes NaN through, which then warns (and wraps) on the uint8
+    # cast — early-training samples can contain NaN/Inf pixels
+    a = np.nan_to_num(a, nan=0.0, posinf=255.0, neginf=0.0)
     return np.clip(a, 0, 255).astype(imtype)
 
 
