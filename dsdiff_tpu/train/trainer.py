@@ -288,6 +288,7 @@ class Trainer:
                 rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
             )
         self.rsched = rsched
+        self.model_name = model_name
         if not self.palette:
             if model_name == "dsunet_split" and bool(
                 cfg.get("cached_cond_sampling", True)
@@ -456,6 +457,53 @@ class Trainer:
         return step
 
     # ------------------------------------------------------------------- val
+    def set_sampler(self, sampler: str | None = None,
+                    sample_steps: int | None = None,
+                    ddim_eta: float | None = None,
+                    cached: bool | None = None,
+                    **solver_options):
+        """Rebuild the sampling path with new settings on a live trainer —
+        evaluate ONE checkpoint under ddim-50 / dpm-20 / cached-cond
+        without re-instantiating (the reference rebuilds SpacedDiffusion
+        at predict time, trainer_use_gaussian_diff.py:586-600)."""
+        assert not self.palette, "palette owns its own sampler"
+        if sampler is not None:
+            self.sampler_name = sampler
+        if sample_steps is not None:
+            self.sample_steps = int(sample_steps)
+        if ddim_eta is not None:
+            self.eta = float(ddim_eta)
+        cfg = self.cfg
+        T = len(self.betas)
+        rsched = schedules.respace(
+            self.betas,
+            schedules.space_timesteps(T, str(self.sample_steps)),
+            rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
+        )
+        self.rsched = rsched
+        use_cached = (self.model_name == "dsunet_split"
+                      if cached is None else bool(cached))
+        if use_cached and self.model_name == "dsunet_split":
+            self.sample_fn = self._make_cached_sample_fn(rsched)
+        else:
+            samp = cfg.get("sampler_setting", {}) or {}
+            opts = {
+                k: samp[k] for k in
+                ("order", "method", "skip_type", "algorithm_type")
+                if k in samp
+            }
+            opts.update(solver_options)
+            self.sample_fn = make_sample_fn(
+                self.model.apply, rsched, self.task, self.sampler_name,
+                self.eta,
+                clip_denoised=bool(cfg.get("clip_denoised", True)),
+                out_channels=self.base_out,
+                full_sched=self.sched,
+                sample_steps=self.sample_steps,
+                solver_options=opts,
+                patch_params=cfg.get("split_input_params"),
+            )
+
     def validate(self, max_batches: int = 8) -> dict:
         assert self.val_loader is not None
         rng = jax.random.PRNGKey(0)
