@@ -76,6 +76,19 @@ def main():
                 mem[k_out] = round(stats[k_src] / 2**30, 2)
     except Exception:
         pass
+    # ---- training-side FLOP accounting (VERDICT r2 item 5): analytic
+    # fwd FLOPs from the same component model the inference MFU study
+    # cross-validated against XLA (PROFILE.md §2 — the two accountings
+    # agree within 0.1%), times the standard fwd+bwd multiplier:
+    #   bwd = dL/dW (1x fwd) + dL/dx (1x fwd)  =>  train = 3x fwd
+    # MFU uses ALGORITHMIC FLOPs (3x) per convention — remat recompute
+    # (+1x fwd) is counted separately as hardware FLOPs.
+    from mfu_probe import dsunet_forward_flops
+
+    fwd_f = dsunet_forward_flops(batch)
+    algo_f = 3.0 * fwd_f
+    hw_f = algo_f + (fwd_f if remat else 0.0)
+    peak = 197e12  # TPU v5e bf16 peak
     print(json.dumps({
         "metric": "dsunet_256_train_steps_per_sec_per_chip",
         "value": round(1.0 / dt, 3),
@@ -85,6 +98,10 @@ def main():
         "step_latency_s": round(dt, 4),
         "remat": remat,
         "loss": float(m["loss"]),
+        "fwd_gflops_batch": round(fwd_f / 1e9, 1),
+        "train_tflops_per_sec": round(algo_f / dt / 1e12, 2),
+        "train_mfu_pct": round(100.0 * algo_f / dt / peak, 2),
+        "hw_tflops_per_sec": round(hw_f / dt / 1e12, 2),
         **mem,
     }))
 
