@@ -178,7 +178,19 @@ def ddim_sample_loop(
             if clip_denoised:
                 pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
             pmv = pmv._replace(eps=eps, pred_x0=pred_x0)
-        x = sqrt_acp_prev[t] * pmv.pred_x0 + dir_coef[t] * pmv.eps
+        eps_used = pmv.eps
+        if clip_denoised:
+            # reference ddim_sample (gaussian_diffusion.py:620-668)
+            # re-derives eps from the CLIPPED pred_xstart, so the update
+            # stays consistent when the clip binds — without this, strong
+            # classifier guidance overshoots: pred_x0 saturates at +1 while
+            # the raw rescored eps (unbounded) drags the dir_coef term the
+            # opposite way, and the chain diverges from the guided class.
+            tb = jnp.full((carry.x.shape[0],), t, dtype=jnp.int32)
+            eps_used = process.predict_eps_from_x0(
+                sched, carry.x, tb, pmv.pred_x0
+            )
+        x = sqrt_acp_prev[t] * pmv.pred_x0 + dir_coef[t] * eps_used
         if stochastic:
             rng, key = jax.random.split(rng)
             noise = jax.random.normal(key, carry.x.shape, carry.x.dtype)

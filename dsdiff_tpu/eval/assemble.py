@@ -72,8 +72,81 @@ class VolumeAssembler:
         return out
 
 
+_XLSX_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+    'package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="xl/workbook.xml"/></Relationships>'
+)
+_XLSX_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/'
+    'main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+    'relationships"><sheets><sheet name="metrics" sheetId="1" r:id="rId1"/>'
+    "</sheets></workbook>"
+)
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/></Relationships>'
+)
+
+
+def _xlsx_cell(value) -> str:
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        v = float(value)
+        if np.isfinite(v):
+            return f"<c t=\"n\"><v>{v:.10g}</v></c>"
+        value = str(v)  # nan/inf have no numeric cell form
+    from xml.sax.saxutils import escape
+
+    return f"<c t=\"inlineStr\"><is><t>{escape(str(value))}</t></is></c>"
+
+
+def _write_xlsx(table: list[list], out_path: Path):
+    """Minimal SpreadsheetML writer (stdlib zipfile only; inline strings,
+    no shared-string table) — enough for Excel/pandas/openpyxl to open the
+    reference's ``*_metric.xlsx`` report shape (inference/get_metric.py:
+    120-132) without adding an openpyxl dependency."""
+    import zipfile
+
+    body = "".join(
+        "<row>" + "".join(_xlsx_cell(c) for c in row) + "</row>"
+        for row in table
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        f'2006/main"><sheetData>{body}</sheetData></worksheet>'
+    )
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_TYPES)
+        z.writestr("_rels/.rels", _XLSX_RELS)
+        z.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 def write_metric_report(rows: list[dict], out_path) -> Path:
-    """Per-case rows + a mean row -> CSV (reference writes *_metric.xlsx)."""
+    """Per-case rows + a mean row. ``.xlsx`` suffix writes a real Excel
+    workbook (the reference's *_metric.xlsx format, get_metric.py:120-132);
+    anything else writes CSV."""
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     if not rows:
@@ -82,6 +155,12 @@ def write_metric_report(rows: list[dict], out_path) -> Path:
     mean_row = {"case": "mean"}
     for k in keys:
         mean_row[k] = float(np.mean([r[k] for r in rows]))
+    if out_path.suffix.lower() == ".xlsx":
+        table = [["case"] + keys] + [
+            [r["case"]] + [r[k] for k in keys] for r in rows + [mean_row]
+        ]
+        _write_xlsx(table, out_path)
+        return out_path
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["case"] + keys)
         w.writeheader()

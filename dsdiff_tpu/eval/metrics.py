@@ -165,7 +165,15 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
-    """valid-mode 2D correlation, img [B, H, W]."""
+    """valid-mode 2D correlation, img [B, H, W].
+
+    precision=HIGHEST: TPU convs default to bf16 MXU passes, whose ~0.4%
+    relative error makes the moment cancellation mu_tt - mu_t^2 go negative
+    on near-constant regions with |mean| ~ 1 — enough to flip the SSIM
+    denominator sign and report SSIM > 1 on the real chip (first observed
+    in the round-3 256^2 flagship run). HIGHEST restores fp32-accurate
+    moments; the filter is a negligible fraction of eval cost.
+    """
     k = kern[:, :, None, None]  # HWIO
     out = jax.lax.conv_general_dilated(
         img[:, :, :, None],
@@ -173,6 +181,7 @@ def _filter2d(img: jnp.ndarray, kern: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, :, :, 0]
 
@@ -198,8 +207,9 @@ def ssim(
     mu_tt = _filter2d(t * t, k)
     mu_pp = _filter2d(p * p, k)
     mu_tp = _filter2d(t * p, k)
-    var_t = mu_tt - mu_t**2
-    var_p = mu_pp - mu_p**2
+    # true variances are >= 0; negative values are pure cancellation noise
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
     cov = mu_tp - mu_t * mu_p
     num = (2 * mu_t * mu_p + c1) * (2 * cov + c2)
     den = (mu_t**2 + mu_p**2 + c1) * (var_t + var_p + c2)
@@ -212,8 +222,8 @@ _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 def _cs(t, p, k, c2):
     mu_t = _filter2d(t, k)
     mu_p = _filter2d(p, k)
-    var_t = _filter2d(t * t, k) - mu_t**2
-    var_p = _filter2d(p * p, k) - mu_p**2
+    var_t = jnp.maximum(_filter2d(t * t, k) - mu_t**2, 0.0)
+    var_p = jnp.maximum(_filter2d(p * p, k) - mu_p**2, 0.0)
     cov = _filter2d(t * p, k) - mu_t * mu_p
     return jnp.mean((2 * cov + c2) / (var_t + var_p + c2), axis=(1, 2))
 

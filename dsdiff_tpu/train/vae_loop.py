@@ -110,6 +110,46 @@ class VaeTrainer:
         journal(self.workdir, f"VAE {n/1e6:.2f}M params, "
                               f"{len(self.train_ds)} slices")
 
+    def reconstruction_metrics(self, max_batches: int = 4):
+        """Deterministic reconstruction quality of the current weights.
+
+        Mirrors the val/rec_loss the reference's AutoencoderKL logs for
+        best-checkpoint retention (ldm/models/autoencoder.py:289-298), with
+        image metrics added: posterior mode (no sampling) -> decode ->
+        SSIM / PSNR / MAE over ``max_batches`` unaugmented batches.
+        """
+        from ..eval import metrics as M
+
+        @jax.jit
+        def recon(params, x):
+            moments = self.vae.apply(params, x, method="encode")
+            return self.vae.apply(params, moments.mode(), method="decode")
+
+        eval_ds = SliceDataset(
+            Path(self.cfg.get("h5_2d_img_dir")),
+            split=f"images_tr_{int(self.cfg.get('image_size', 256))}",
+            keys=list(self.cfg.get(
+                "train_keys", ["F_Data1", "F_Data2", "S_Data1", "S_Data2"])),
+            augment=False,
+        )
+        loader = BatchLoader(eval_ds, int(self.cfg.get("train_batch_size", 8)),
+                             seed=0, shuffle=False)
+        rows = []
+        for i, batch in enumerate(loader.epoch(0)):
+            if i >= max_batches:
+                break
+            gt = jnp.asarray(batch["target"])
+            pred = recon(self.vae_state.params, gt)
+            g1, p1 = gt[..., 0], pred[..., 0]
+            mse = float(jnp.mean((gt - pred) ** 2))
+            rows.append({
+                "rec_ssim": float(jnp.mean(M.ssim(g1, p1, data_range=2.0))),
+                "rec_psnr": 10.0 * float(np.log10(4.0 / max(mse, 1e-12))),
+                "rec_mae": float(jnp.mean(jnp.abs(gt - pred))),
+            })
+        return {k: round(float(np.mean([r[k] for r in rows])), 4)
+                for k in rows[0]}
+
     def fit(self, num_epochs: int | None = None, max_steps: int | None = None,
             log_every: int = 50):
         cfg = self.cfg

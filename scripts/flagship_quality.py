@@ -27,6 +27,7 @@ Usage: python scripts/flagship_quality.py [steps] [steps_split] [outdir]
 Emits JSON lines; transcribe into PARITY.md.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -79,8 +80,10 @@ def build_cfg(net_mode, data_dir, lam):
     ))
 
 
-def eval_full_val(tr, tag, max_batches=14):
+def eval_full_val(tr, tag, max_batches=None):
     """Full-val-fold metrics under the CURRENT tr.sample_fn."""
+    if max_batches is None:
+        max_batches = int(os.environ.get("DSDIFF_FQ_EVAL_BATCHES", "14"))
     rng = jax.random.PRNGKey(7)
     rows = []
     t0 = time.time()

@@ -51,8 +51,7 @@ def main():
     t0 = time.time()
     vt = VaeTrainer(vae_cfg, tmp / "vae")
     vt.fit(max_steps=vae_steps)
-    rec = vt.reconstruction_metrics() if hasattr(
-        vt, "reconstruction_metrics") else {}
+    rec = vt.reconstruction_metrics()
     print(json.dumps({"stage": "vae", "steps": vae_steps,
                       "wall_s": round(time.time() - t0, 1), **rec}),
           flush=True)

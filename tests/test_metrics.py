@@ -102,6 +102,36 @@ def test_assembler_and_report(tmp_path):
     assert "mean,25.0" in text
 
 
+def test_metric_report_xlsx(tmp_path):
+    """The .xlsx report (reference get_metric.py:120-132 format) must be a
+    well-formed workbook: validated with stdlib zip + SpreadsheetML parse
+    (no openpyxl in-env)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    rows = [{"case": "a", "psnr": 20.0, "ssim": 0.5},
+            {"case": "b", "psnr": 30.0, "ssim": 0.7}]
+    rp = write_metric_report(rows, tmp_path / "m.xlsx")
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(rp) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    parsed = []
+    for row in sheet.iter(f"{ns}row"):
+        vals = []
+        for c in row.iter(f"{ns}c"):
+            if c.get("t") == "inlineStr":
+                vals.append(c.find(f"{ns}is/{ns}t").text)
+            else:
+                vals.append(float(c.find(f"{ns}v").text))
+        parsed.append(vals)
+    assert parsed[0] == ["case", "psnr", "ssim"]
+    assert parsed[1] == ["a", 20.0, 0.5]
+    assert parsed[-1] == ["mean", 25.0, pytest.approx(0.6)]
+
+
 def test_vifp_properties():
     from dsdiff_tpu.eval.fid import vifp
 
@@ -144,20 +174,43 @@ def test_fid_discriminates():
     assert f_same < f_diff
 
 
-def test_cw_ssim_matches_scipy_cwt():
-    """Our ricker-CWT reproduces scipy.signal.cwt (the pyssim dependency,
-    reference test_metrics.py:304-323)."""
+def _cwt_oracle(sig, widths):
+    """Independent oracle for scipy.signal.cwt semantics (removed from
+    scipy >= 1.15), written from the published definition: per width w,
+    same-mode DIRECT convolution (np.convolve, not FFT — independent
+    numerics from the fftconvolve implementation under test) with
+    ricker(min(10*w, N), w), where ricker is the textbook Mexican hat
+    A*(1-(x/a)^2)*exp(-(x/a)^2/2), A = 2/(sqrt(3a)*pi^(1/4))."""
+    sig = np.asarray(sig, np.float64)
+    out = np.empty((len(widths), sig.shape[0]), np.float64)
+    for i, a in enumerate(widths):
+        n = int(min(10 * a, sig.shape[0]))
+        x = np.arange(n) - (n - 1.0) / 2.0
+        xsq = (x / a) ** 2
+        wav = (2.0 / (np.sqrt(3.0 * a) * np.pi ** 0.25)
+               * (1.0 - xsq) * np.exp(-xsq / 2.0))
+        out[i] = np.convolve(sig, wav, mode="same")
+    return out
+
+
+def test_cw_ssim_matches_cwt_oracle():
+    """Our ricker-CWT reproduces scipy.signal.cwt semantics (the pyssim
+    dependency, reference test_metrics.py:304-323) — checked against a
+    direct-convolution oracle, and against real scipy.signal.cwt too when
+    this scipy still ships it."""
     from dsdiff_tpu.eval.metrics import _cwt_ricker
 
-    scipy_signal = pytest.importorskip("scipy.signal")
-    if not hasattr(scipy_signal, "cwt"):
-        pytest.skip("scipy.signal.cwt removed in this scipy")
     rng = np.random.default_rng(0)
     sig = rng.normal(size=200)
     widths = np.arange(1, 8)
-    ref = scipy_signal.cwt(sig, scipy_signal.ricker, widths)
     got = _cwt_ricker(sig, widths)
-    np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(got, _cwt_oracle(sig, widths),
+                               rtol=1e-7, atol=1e-9)
+    import scipy.signal as scipy_signal
+
+    if hasattr(scipy_signal, "cwt"):
+        ref = scipy_signal.cwt(sig, scipy_signal.ricker, widths)
+        np.testing.assert_allclose(got, ref, rtol=1e-7, atol=1e-9)
 
 
 def test_cw_ssim_identity_and_degradation():

@@ -206,6 +206,9 @@ def test_vae_gan_loop(tmp_path):
     step = t.fit(max_steps=2, log_every=1)
     assert step == 2
     assert t.ckpt.latest_step() == 2
+    rec = t.reconstruction_metrics(max_batches=1)
+    assert set(rec) == {"rec_ssim", "rec_psnr", "rec_mae"}
+    assert np.isfinite(list(rec.values())).all()
     t.ckpt.close()
 
 
