@@ -116,80 +116,153 @@ def eval_full_val(tr, tag, max_batches=None):
     return out
 
 
-def train_leg(name, net_mode, lam, steps, data_dir, outdir, chunk=1000):
-    chunk = max(min(chunk, steps // 2), 1)
-    cfg = build_cfg(net_mode, data_dir, lam)
-    tr = Trainer(cfg, Path(outdir) / name)
+LEGS = {"disen_on": ("ds_diff_gaussian", 0.5),   # reference default lambda
+        "disen_mid": ("ds_diff_gaussian", 0.05),  # lambda-scale probe
+        "disen_off": ("ds_diff_gaussian", 0.0),
+        "split": ("ds_diff_split", 0.5)}
+
+
+def _make_trainer(name, data_dir, outdir, restore=True):
+    net_mode, lam = LEGS[name]
+    tr = Trainer(build_cfg(net_mode, data_dir, lam), Path(outdir) / name)
+    if restore and tr.ckpt.latest_step() is not None:
+        tr.state, tr.sampler_state = tr.ckpt.restore(
+            tr.state, tr.sampler_state)
+    return tr
+
+
+def train_chunk(name, target, data_dir, outdir, chunk=1000):
+    """Train ONE <=chunk-step slice of a leg in THIS process, then exit.
+
+    The axon tunnel client leaks every host->device transfer buffer
+    (~batch_bytes per train step — measured 8.4 MB/step at 256^2 b=8,
+    which OOM-killed the original single-process 10k-step run at ~125 GB
+    RSS). Until the platform bug is fixed, long runs are driven as chunked
+    subprocesses: restore latest Orbax checkpoint -> train <=1000 steps ->
+    save -> exit, bounding the leak at ~8.4 GB per process lifetime.
+    Returns the step reached.
+    """
+    tr = _make_trainer(name, data_dir, outdir)
     t0 = time.time()
-    m0 = tr.validate(max_batches=2)
-    print(json.dumps({"leg": name, "step": 0,
-                      **{k: round(v, 4) for k, v in m0.items()}}),
-          flush=True)
-    done = 0
-    while done < steps:
-        tr.fit(max_steps=done + chunk, log_every=200,
-               val_every_epochs=10 ** 9)
-        done += chunk
+    done = int(jax.device_get(tr.state.step))
+    if done == 0:
+        m0 = tr.validate(max_batches=2)
+        print(json.dumps({"leg": name, "step": 0,
+                          **{k: round(v, 4) for k, v in m0.items()}}),
+              flush=True)
+    until = min(done + chunk, target)
+    if until > done:
+        tr.fit(max_steps=until, log_every=200, val_every_epochs=10 ** 9)
         m = tr.validate(max_batches=2)
-        tr.ckpt.save(done, tr.state, tr.sampler_state,
+        tr.ckpt.save(until, tr.state, tr.sampler_state,
                      metrics={"val_ssim": m["ssim"], "val_mae": m["mae"]})
-        print(json.dumps({"leg": name, "step": done,
+        print(json.dumps({"leg": name, "step": until,
                           "wall_s": round(time.time() - t0, 1),
                           **{k: round(v, 4) for k, v in m.items()}}),
               flush=True)
     tr.ckpt.wait()
-    return tr
+    tr.ckpt.close()
+    return until
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-    steps_split = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
-    outdir = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(
-        "/tmp/dsdiff_flagship_quality")
-    outdir.mkdir(parents=True, exist_ok=True)
-    data_dir = outdir / "data"
+def eval_leg(name, data_dir, outdir):
+    """Full-val evals of a trained leg's latest checkpoint (own process)."""
+    tr = _make_trainer(name, data_dir, outdir)
+    res = {"step": int(jax.device_get(tr.state.step))}
+    if LEGS[name][0] == "ds_diff_split":
+        tr.set_sampler(sampler="ddim", sample_steps=50, cached=True)
+        res["cached_ddim50"] = eval_full_val(tr, f"{name}/cached_ddim50")
+        tr.set_sampler(sampler="ddim", sample_steps=50, cached=False)
+        res["faithful_ddim50"] = eval_full_val(tr, f"{name}/faithful_ddim50")
+    else:
+        tr.set_sampler(sampler="ddim", sample_steps=50, ddim_eta=0.0)
+        res["ddim50"] = eval_full_val(tr, f"{name}/ddim50")
+        tr.set_sampler(sampler="dpm++", sample_steps=20)
+        res["dpm20"] = eval_full_val(tr, f"{name}/dpm20")
+    tr.ckpt.close()
+    return res
+
+
+def ensure_data(outdir):
+    data_dir = Path(outdir) / "data"
     if not (data_dir / f"images_tr_{HW}").exists():
         t0 = time.time()
         make_structured_dataset(data_dir, n_cases=36, n_slices=12, hw=HW,
                                 seed=0, ts_fraction=1 / 9)
         print(json.dumps({"data": str(data_dir),
                           "gen_s": round(time.time() - t0, 1)}), flush=True)
+    return data_dir
 
+
+def drive(steps, steps_split, outdir):
+    """Outer driver: one subprocess per <=1000-step chunk / per eval (see
+    train_chunk's docstring for why — axon transfer-buffer leak)."""
+    import subprocess
+
+    me = str(Path(__file__).resolve())
+    targets = {"disen_on": steps, "disen_off": steps, "split": steps_split,
+               "disen_mid": steps}
     results = {}
-
-    # ---- leg 1/2: disentangle A/B at full budget
-    for name, lam in (("disen_on", 0.5), ("disen_off", 0.0)):
-        tr = train_leg(name, "ds_diff_gaussian", lam, steps, data_dir,
-                       outdir)
-        res = {}
-        tr.set_sampler(sampler="ddim", sample_steps=50, ddim_eta=0.0)
-        res["ddim50"] = eval_full_val(tr, f"{name}/ddim50")
-        tr.set_sampler(sampler="dpm++", sample_steps=20)
-        res["dpm20"] = eval_full_val(tr, f"{name}/dpm20")
-        results[name] = res
-        tr.ckpt.close()
-        del tr
-
-    # ---- leg 3: cached-cond architecture at 256²
-    tr = train_leg("split", "ds_diff_split", 0.5, steps_split, data_dir,
-                   outdir)
-    res = {}
-    tr.set_sampler(sampler="ddim", sample_steps=50, cached=True)
-    res["cached_ddim50"] = eval_full_val(tr, "split/cached_ddim50")
-    tr.set_sampler(sampler="ddim", sample_steps=50, cached=False)
-    res["faithful_ddim50"] = eval_full_val(tr, "split/faithful_ddim50")
-    results["split"] = res
-    tr.ckpt.close()
-
-    if ("disen_on" in results and "disen_off" in results):
-        delta = {
-            k: round(results["disen_on"]["ddim50"][k]
-                     - results["disen_off"]["ddim50"][k], 4)
-            for k in ("ssim", "ms_ssim", "psnr")
-        }
-        results["disen_delta_ddim50"] = delta
+    for name, target in targets.items():
+        while True:
+            r = subprocess.run(
+                [sys.executable, me, "chunk", name, str(target),
+                 str(outdir)], capture_output=True, text=True)
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-4000:])
+                raise SystemExit(f"chunk {name} failed rc={r.returncode}")
+            reached = int(r.stdout.strip().splitlines()[-1])
+            if reached >= target:
+                break
+        r = subprocess.run(
+            [sys.executable, me, "eval", name, str(outdir)],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        sys.stdout.flush()
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise SystemExit(f"eval {name} failed rc={r.returncode}")
+        for line in r.stdout.strip().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "eval" in rec:
+                leg, tag = rec.pop("eval").split("/")
+                results.setdefault(leg, {})[tag] = rec
+    for leg in ("disen_on", "disen_mid"):
+        if leg in results and "disen_off" in results:
+            results[f"{leg}_delta_ddim50"] = {
+                k: round(results[leg]["ddim50"][k]
+                         - results["disen_off"]["ddim50"][k], 4)
+                for k in ("ssim", "ms_ssim", "psnr")
+            }
     print(json.dumps({"FINAL": results}), flush=True)
-    (outdir / "results.json").write_text(json.dumps(results, indent=2))
+    (Path(outdir) / "results.json").write_text(json.dumps(results, indent=2))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "chunk":
+        name, target = sys.argv[2], int(sys.argv[3])
+        outdir = Path(sys.argv[4])
+        reached = train_chunk(name, target, ensure_data(outdir), outdir)
+        print(reached, flush=True)  # last line: step reached (driver parses)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "eval":
+        name, outdir = sys.argv[2], Path(sys.argv[3])
+        print(json.dumps({"leg_eval_done": name,
+                          **eval_leg(name, ensure_data(outdir), outdir)}),
+              flush=True)
+        return
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    steps_split = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+    outdir = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(
+        "/tmp/dsdiff_flagship_quality")
+    outdir.mkdir(parents=True, exist_ok=True)
+    ensure_data(outdir)
+    drive(steps, steps_split, outdir)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ def _model_from(cfg, in_ch=4):
 @pytest.mark.parametrize("name,width,t_steps,hw", [
     ("dsdiff_ldm320.yaml", 320, 2000, 320),
     ("dsdiff_thesis160.yaml", 160, 1000, 256),
+    ("dsdiff_flagship128.yaml", 128, 1000, 256),
 ])
 def test_ref_scale_config_loads_and_builds(name, width, t_steps, hw):
     cfg = load_run_config(CONFIGS / "train_config.yaml", CONFIGS / name)
