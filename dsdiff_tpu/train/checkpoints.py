@@ -77,7 +77,10 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m.get(best_metric, -1.0)) if keep_best else None,
-            best_mode="max" if keep_best else None,
+            # best-tracking is controlled by best_fn; best_mode stays 'max'
+            # even when off — this orbax's validator rejects None despite
+            # its own error message listing it as allowed
+            best_mode="max",
             enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)

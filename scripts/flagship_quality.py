@@ -131,16 +131,18 @@ def _make_trainer(name, data_dir, outdir, restore=True):
     return tr
 
 
-def train_chunk(name, target, data_dir, outdir, chunk=1000):
+def train_chunk(name, target, data_dir, outdir, chunk=3000):
     """Train ONE <=chunk-step slice of a leg in THIS process, then exit.
 
     The axon tunnel client leaks every host->device transfer buffer
     (~batch_bytes per train step — measured 8.4 MB/step at 256^2 b=8,
     which OOM-killed the original single-process 10k-step run at ~125 GB
     RSS). Until the platform bug is fixed, long runs are driven as chunked
-    subprocesses: restore latest Orbax checkpoint -> train <=1000 steps ->
-    save -> exit, bounding the leak at ~8.4 GB per process lifetime.
-    Returns the step reached.
+    subprocesses: restore latest Orbax checkpoint -> train <=chunk steps ->
+    save -> exit, bounding the leak at ~chunk*batch_bytes per process
+    lifetime (~25 GB at chunk=3000). chunk=1000 measured ~12 min of
+    restore/compile overhead against ~3.5 min of training — 3000 amortizes
+    it to ~25%. Returns the step reached.
     """
     tr = _make_trainer(name, data_dir, outdir)
     t0 = time.time()

@@ -50,6 +50,22 @@ def test_checkpoint_retention_best(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_manager_keep_best_off(tmp_path):
+    """keep_best=False (the frozen-VAE read-only manager path,
+    trainer.py vae_checkpoint) must construct and round-trip — this
+    orbax's CheckpointManagerOptions validator rejects best_mode=None,
+    which crashed the latent two-stage pipeline on first hardware run."""
+    params = {"w": jnp.arange(3.0)}
+    st = TrainState.create(lambda p, x: x, params, make_optimizer(1e-2))
+    mgr = CheckpointManager(tmp_path, keep_best=False)
+    mgr.save(5, st)
+    mgr.wait()
+    assert mgr.latest_step() == 5
+    got = mgr.restore_params({"w": jnp.zeros(3)}, ema=False)
+    np.testing.assert_allclose(np.asarray(got["w"]), np.arange(3.0))
+    mgr.close()
+
+
 def test_evaluate_volume_small():
     from dsdiff_tpu.eval.metrics import evaluate_volume
 
