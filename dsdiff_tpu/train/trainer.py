@@ -400,19 +400,54 @@ class Trainer:
             )
             self._np_rng = np.random.default_rng(int(cfg.get("seed", 2024)))
         n_chips = int(self.mesh.devices.size)
+        # device-resident data path (data/device_cache.py): whole split in
+        # HBM, per-step gather + augment on device — zero steady-state
+        # host->device traffic. Uniform-with-replacement sampling; 'epochs'
+        # below become fixed-length step windows for val cadence only.
+        cache_batch_fn = None
+        if bool(cfg.get("device_data_cache", False)):
+            if curriculum is not None:
+                raise ValueError(
+                    "device_data_cache is incompatible with the shannon "
+                    "curriculum (host-side entropy buckets)")
+            from ..data.device_cache import DeviceCache
+
+            dcache = DeviceCache.from_dataset(
+                self.train_ds, mesh=self.mesh,
+                dtype=jnp.bfloat16 if cfg.get("bf16", True)
+                else jnp.float32,
+            )
+            cache_batch_fn = dcache.make_batch_fn(
+                self.train_loader.batch_size,
+                augment=bool(self.train_ds.augment),
+                aug_prob=float(cfg.get("augmentation_prob", 0.4)),
+            )
+            cache_rng, self.rng = jax.random.split(self.rng)
         t_rate = time.time()
         steps_at_rate = step
+
+        def epoch_batches(epoch):
+            if cache_batch_fn is None:
+                yield from self.train_loader.epoch(epoch)
+            else:
+                for _ in range(len(self.train_loader)):
+                    yield None  # sentinel: batch produced on device below
+
         for epoch in range(num_epochs):
             t_ep = time.time()
-            for batch in self.train_loader.epoch(epoch):
+            for batch in epoch_batches(epoch):
                 if curriculum is not None and step < warmup_steps:
                     batch = curriculum.batch(
                         self.train_loader.batch_size, step, warmup_steps,
                         self._np_rng,
                     )
-                dev_batch = pmesh.shard_batch(self.mesh, {
-                    "image": batch["image"], "target": batch["target"],
-                })
+                if batch is None:
+                    dev_batch = cache_batch_fn(
+                        jax.random.fold_in(cache_rng, step))
+                else:
+                    dev_batch = pmesh.shard_batch(self.mesh, {
+                        "image": batch["image"], "target": batch["target"],
+                    })
                 if self.first_stage is not None:
                     enc_rng, step_rng = jax.random.split(step_rng)
                     dev_batch = self.first_stage.encode_batch(
