@@ -74,12 +74,28 @@ class CheckpointManager:
     ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        # Retention: best-N by metric PLUS always the latest step. The
+        # latest checkpoint is the resume anchor; pure best-N retention
+        # (orbax best_fn + max_to_keep) garbage-collects a just-saved
+        # step whenever its metric ranks below max_to_keep older ones,
+        # which makes latest_step() non-monotone and can pin a resumed
+        # run to an old step forever (hit in round 3 when pre-SSIM-fix
+        # checkpoints carried impossible val_ssim>1 values that no
+        # honest save could ever beat).
+        pp = ocp.checkpoint_managers.preservation_policy
+        metric_fn = lambda m: (m or {}).get(best_metric, -1.0)  # noqa: E731
+        if keep_best:
+            preserve = pp.AnyPreservationPolicy(
+                [pp.LatestN(n=1), pp.BestN(get_metric_fn=metric_fn,
+                                           n=max_to_keep)])
+        else:
+            preserve = pp.LatestN(n=max_to_keep)
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=(lambda m: m.get(best_metric, -1.0)) if keep_best else None,
-            # best-tracking is controlled by best_fn; best_mode stays 'max'
-            # even when off — this orbax's validator rejects None despite
-            # its own error message listing it as allowed
+            preservation_policy=preserve,
+            # best_fn only powers best_step(); retention is the policy's
+            best_fn=metric_fn if keep_best else None,
+            # orbax's validator rejects best_mode=None despite its own
+            # error message listing it as allowed
             best_mode="max",
             enable_async_checkpointing=True,
         )

@@ -50,6 +50,32 @@ def test_checkpoint_retention_best(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_latest_survives_best_retention(tmp_path):
+    """The latest checkpoint must NEVER be garbage-collected by best-N
+    retention: it is the resume anchor. Regression for the round-3
+    flagship-quality stall — checkpoints saved before the SSIM fp32 fix
+    carried impossible val_ssim>1 metrics, every honest new save ranked
+    below them, orbax deleted each new step immediately, and chunked
+    resume replayed steps 3000-6000 forever."""
+    params = {"w": jnp.arange(4.0)}
+    st = TrainState.create(lambda p, x: x, params, make_optimizer(1e-2))
+    mgr = CheckpointManager(tmp_path, max_to_keep=2, best_metric="val_ssim")
+    # two poisoned early steps with bogus >1 metrics, then honest saves
+    for step, ssim in [(1, 1.14), (2, 1.13), (3, 0.95), (4, 0.99)]:
+        st = st.replace(step=jnp.asarray(step))
+        mgr.save(step, st, metrics={"val_ssim": ssim})
+        mgr.wait()
+        assert mgr.latest_step() == step  # latest is always restorable
+    st2, _ = mgr.restore(st)
+    assert int(st2.step) == 4
+    # a fresh manager on the same dir (chunked-subprocess resume) agrees
+    mgr.close()
+    mgr2 = CheckpointManager(tmp_path, max_to_keep=2,
+                             best_metric="val_ssim")
+    assert mgr2.latest_step() == 4
+    mgr2.close()
+
+
 def test_checkpoint_manager_keep_best_off(tmp_path):
     """keep_best=False (the frozen-VAE read-only manager path,
     trainer.py vae_checkpoint) must construct and round-trip — this
