@@ -28,6 +28,7 @@ Extra keys report two faster reference-endorsed operating points:
   faithful path is tracked in PARITY.md.
 """
 import json
+import os
 import sys
 import time
 
@@ -154,7 +155,31 @@ def run_cached(batch):
     return best
 
 
+def _require_devices(timeout_s: float = 240.0):
+    """Fail fast if the TPU backend is unreachable (the tunneled axon
+    client retries forever on a dead relay, which would hang the bench
+    instead of reporting an environment failure)."""
+    import threading
+
+    found: list = []
+
+    def probe():
+        found.extend(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or not found:
+        print(
+            f"bench: no usable JAX device within {timeout_s:.0f}s "
+            "(TPU tunnel down?) — refusing to hang",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+
 def main():
+    _require_devices()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     candidates = [batch] if batch else [16, 8, 4, 2, 1]
     dt, used_batch = None, None

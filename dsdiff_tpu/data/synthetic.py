@@ -38,7 +38,31 @@ import numpy as np
 
 from . import h5store
 
-__all__ = ["make_structured_case", "make_structured_dataset"]
+__all__ = ["make_structured_case", "make_structured_dataset",
+           "STYLE_PROFILES"]
+
+# Style-nuisance profiles. 'mild' is the original task (scalar monotone
+# remap per case x contrast; val styles are new draws from the SAME
+# ranges). 'hard'/'hard_ood' add the two ingredients the reference's
+# real multi-center MRI has and the mild task lacks
+# (model_architecture_thesis.md's nuisance discussion):
+#   * a smooth spatially-varying multiplicative bias field per
+#     case x contrast (coil-inhomogeneity analogue) — style becomes
+#     high-dimensional, so intensity-invariance alone cannot absorb it;
+#   * per-case lesion rendering gain in B — lesion evidence must be read
+#     out relative to the case's own style, not at an absolute level.
+# 'hard_ood' additionally draws VAL styles from ranges disjoint from
+# training (gamma and bias-field amplitude shifted up) — the
+# out-of-distribution regime where separating anatomy from rendering
+# style is the only route to generalization.
+STYLE_PROFILES = {
+    "mild": dict(gain=(0.7, 1.2), gamma=(0.6, 1.6), bias=(-0.05, 0.1),
+                 field_amp=(0.0, 0.0), lesion_gain=(0.45, 0.45)),
+    "hard": dict(gain=(0.6, 1.3), gamma=(0.45, 1.1), bias=(-0.08, 0.12),
+                 field_amp=(0.15, 0.3), lesion_gain=(0.25, 0.6)),
+    "hard_ood": dict(gain=(0.6, 1.3), gamma=(1.4, 2.2), bias=(-0.08, 0.12),
+                     field_amp=(0.35, 0.5), lesion_gain=(0.25, 0.6)),
+}
 
 
 def _ellipse(hw: int, cy, cx, ry, rx, theta=0.0):
@@ -63,9 +87,21 @@ def _style(v: np.ndarray, gain: float, gamma: float, bias: float):
                    0.0, 1.0)
 
 
-def make_structured_case(hw: int, rng: np.random.Generator, n_slices: int):
+def _bias_field(hw: int, rng: np.random.Generator, amp: float):
+    """Smooth multiplicative gain field in [1-amp, 1+amp] (coil analogue)."""
+    if amp <= 0.0:
+        return np.ones((hw, hw), np.float32)
+    f = _smooth(rng.normal(size=(hw, hw)).astype(np.float32), hw / 6.0)
+    f = f / (np.abs(f).max() + 1e-6)
+    return (1.0 + amp * f).astype(np.float32)
+
+
+def make_structured_case(hw: int, rng: np.random.Generator, n_slices: int,
+                         style_profile: str = "mild"):
     """One case: returns list of {A,B,C,GT} slice dicts in [-1, 1]."""
     import scipy.ndimage as ndi
+
+    prof = STYLE_PROFILES[style_profile]
 
     # ---- anatomy (shared content; fixed within the case)
     c = hw / 2.0
@@ -93,13 +129,25 @@ def make_structured_case(hw: int, rng: np.random.Generator, n_slices: int):
     anatomy = np.where(rim, 0.65, anatomy).astype(np.float32)
 
     # ---- per-case condition styles (nuisance; val cases get unseen draws)
+    def draw(gain_rng=prof["gain"], gamma_rng=prof["gamma"],
+             bias_rng=prof["bias"]):
+        return (rng.uniform(*gain_rng), rng.uniform(*gamma_rng),
+                rng.uniform(*bias_rng))
+
     styles = {
-        "A": (rng.uniform(0.7, 1.2), rng.uniform(0.6, 1.6),
-              rng.uniform(-0.05, 0.1)),
-        "B": (rng.uniform(0.7, 1.2), rng.uniform(0.6, 1.6),
-              rng.uniform(-0.05, 0.1)),
+        "A": draw(),
+        "B": draw(),
         "C": (rng.uniform(0.15, 0.3), rng.uniform(0.8, 1.2), 0.0),
     }
+    # 'mild' consumes NO extra rng draws here, keeping its stream (and
+    # therefore every previously recorded mild dataset) byte-identical.
+    if style_profile == "mild":
+        fields = {k: np.float32(1.0) for k in ("A", "B", "C")}
+        lesion_gain_b = prof["lesion_gain"][0]
+    else:
+        fields = {k: _bias_field(hw, rng, rng.uniform(*prof["field_amp"]))
+                  for k in ("A", "B", "C")}
+        lesion_gain_b = rng.uniform(*prof["lesion_gain"])
     # target style is FIXED across the dataset (learnable global mapping)
     gt_style = (1.0, 0.85, 0.05)
 
@@ -131,13 +179,18 @@ def make_structured_case(hw: int, rng: np.random.Generator, n_slices: int):
                 & ~ndi.binary_erosion(les_mask, iterations=1))
 
         # ---- render the four channels, then map [0,1] -> [-1,1]
+        # (bias fields are identity under the 'mild' profile)
         chans = {}
-        chans["A"] = _style(a_sl, *styles["A"])  # lesion-blind
+        chans["A"] = np.clip(
+            _style(a_sl, *styles["A"]) * fields["A"], 0.0, 1.0
+        )  # lesion-blind
         chans["B"] = np.clip(
-            _style(a_sl, *styles["B"]) + 0.45 * lesion, 0.0, 1.0
+            _style(a_sl, *styles["B"]) * fields["B"]
+            + lesion_gain_b * lesion, 0.0, 1.0
         )
         chans["C"] = np.clip(
-            _style(a_sl, *styles["C"]) + 0.9 * lesion, 0.0, 1.0
+            _style(a_sl, *styles["C"]) * fields["C"] + 0.9 * lesion,
+            0.0, 1.0
         )
         gt = _style(a_sl, *gt_style)
         gt = np.where(ring, np.clip(gt + 0.5, 0, 1), gt)
@@ -151,15 +204,26 @@ def make_structured_case(hw: int, rng: np.random.Generator, n_slices: int):
 
 def make_structured_dataset(root, n_cases: int = 32, n_slices: int = 8,
                             hw: int = 256, seed: int = 0,
-                            ts_fraction: float = 0.25):
-    """Write the dataset in the reference H5 layout; returns root."""
+                            ts_fraction: float = 0.25,
+                            style_profile: str = "mild",
+                            ts_style_profile: str | None = None):
+    """Write the dataset in the reference H5 layout; returns root.
+
+    ``style_profile`` selects the nuisance regime (STYLE_PROFILES) for
+    training cases; ``ts_style_profile`` (default: same) lets the test
+    split draw from a different — e.g. 'hard_ood' — range for
+    out-of-distribution evaluation of style robustness.
+    """
     root = Path(root)
     rng = np.random.default_rng(seed)
     n_ts = max(int(n_cases * ts_fraction), 1)
+    ts_style_profile = ts_style_profile or style_profile
     for ci in range(n_cases):
         case_rng = np.random.default_rng(rng.integers(2**63))
         split = "ts" if ci >= n_cases - n_ts else "tr"
-        slices = make_structured_case(hw, case_rng, n_slices)
+        prof = ts_style_profile if split == "ts" else style_profile
+        slices = make_structured_case(hw, case_rng, n_slices,
+                                      style_profile=prof)
         for si, arrays in enumerate(slices):
             h5store.write_slice(
                 root / f"images_{split}_{hw}" / f"case{ci:03d}"

@@ -69,6 +69,44 @@ def test_structured_val_styles_differ():
     assert across > 2 * within
 
 
+def test_style_profiles():
+    """'hard' adds a spatial bias field; 'hard_ood' draws from disjoint
+    gamma / field-amplitude ranges; 'mild' is byte-stable (regenerating a
+    mild dataset must reproduce previously recorded runs exactly)."""
+    mild = make_structured_case(64, np.random.default_rng(5), n_slices=2)
+    mild2 = make_structured_case(64, np.random.default_rng(5), n_slices=2,
+                                 style_profile="mild")
+    assert all(np.array_equal(mild[i][k], mild2[i][k])
+               for i in range(2) for k in ("A", "B", "C", "GT"))
+    hard = make_structured_case(64, np.random.default_rng(5), n_slices=2,
+                                style_profile="hard")
+    # same seed, same anatomy geometry — but the styled channels differ
+    assert not np.allclose(mild[0]["A"], hard[0]["A"])
+    # GT is style-free (fixed global mapping): only the lesion rendering
+    # chain may shift it, so GT stays highly correlated across profiles
+    g = np.corrcoef(mild[0]["GT"].ravel(), hard[0]["GT"].ravel())[0, 1]
+    assert g > 0.9, g
+    # the bias field is spatially smooth and multiplicative: the ratio
+    # hard/mild on in-head pixels varies across space (a scalar remap
+    # cannot explain it) — use A, which carries no lesion signal
+    ood = make_structured_case(64, np.random.default_rng(5), n_slices=2,
+                               style_profile="hard_ood")
+    assert not np.allclose(hard[0]["A"], ood[0]["A"])
+
+
+def test_ood_val_split(tmp_path):
+    root = make_structured_dataset(
+        tmp_path, n_cases=4, n_slices=2, hw=32, seed=0, ts_fraction=0.25,
+        style_profile="hard", ts_style_profile="hard_ood")
+    assert (root / "images_tr_32").exists()
+    assert (root / "images_ts_32").exists()
+    a = h5store.read_slice(
+        sorted((root / "images_ts_32").iterdir())[0] / "layer_0.h5",
+        ["A", "B", "C", "GT"])
+    for k, v in a.items():
+        assert np.isfinite(v).all() and v.min() >= -1.0 and v.max() <= 1.0
+
+
 def test_set_sampler_switches_path(tmp_path):
     """One trained checkpoint, three sampler settings — the predict-time
     sampler rebuild (trainer_use_gaussian_diff.py:586-600)."""
