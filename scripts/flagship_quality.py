@@ -52,7 +52,8 @@ HW = 256
 BATCH = 8
 
 
-def build_cfg(net_mode, data_dir, lam):
+def build_cfg(net_mode, data_dir, lam, model_channels=96,
+              num_head_channels=48):
     return Config.wrap(dict(
         net_mode=net_mode,
         train_keys=["A", "B", "C", "GT"],
@@ -66,11 +67,11 @@ def build_cfg(net_mode, data_dir, lam):
         disentangle_distance="eu",
         contrast_lambda=lam,
         unet_config={"params": {
-            "model_channels": 96,
+            "model_channels": model_channels,
             "num_res_blocks": 2,
             "channel_mult": [1, 1, 2, 2, 3, 3],
             "attention_resolutions": [8, 16, 32],
-            "num_head_channels": 48,
+            "num_head_channels": num_head_channels,
             "use_scale_shift_norm": True}},
         num_epochs=10 ** 9, lr=1e-4, lr_warm_epoch=0,
         sampler_setting={"sampler": "ddim", "sample_steps": 50},
@@ -119,12 +120,19 @@ def eval_full_val(tr, tag, max_batches=None):
 LEGS = {"disen_on": ("ds_diff_gaussian", 0.5),   # reference default lambda
         "disen_mid": ("ds_diff_gaussian", 0.05),  # lambda-scale probe
         "disen_off": ("ds_diff_gaussian", 0.0),
-        "split": ("ds_diff_split", 0.5)}
+        "split": ("ds_diff_split", 0.5),
+        # the TPU-recommended width (configs/dsdiff_flagship128.yaml,
+        # PROFILE.md §9: 58.9% MFU vs 38.3% at C=96) at the same budget
+        # as disen_off — the quality datapoint for that operating point
+        "c128": ("ds_diff_gaussian", 0.0, dict(model_channels=128,
+                                               num_head_channels=32))}
 
 
 def _make_trainer(name, data_dir, outdir, restore=True):
-    net_mode, lam = LEGS[name]
-    tr = Trainer(build_cfg(net_mode, data_dir, lam), Path(outdir) / name)
+    net_mode, lam = LEGS[name][:2]
+    extra = LEGS[name][2] if len(LEGS[name]) > 2 else {}
+    tr = Trainer(build_cfg(net_mode, data_dir, lam, **extra),
+                 Path(outdir) / name)
     if restore and tr.ckpt.latest_step() is not None:
         tr.state, tr.sampler_state = tr.ckpt.restore(
             tr.state, tr.sampler_state)
