@@ -60,7 +60,10 @@ class ImagePool:
 def heatmap_to_rgb(mat: np.ndarray) -> np.ndarray:
     """[-1,1] similarity matrix -> RGB heatmap uint8 (util.py:144-155
     get_heatmap; coolwarm-style two-ramp colormap without matplotlib)."""
-    m = np.clip(np.asarray(mat, np.float32), -1.0, 1.0)
+    # nan_to_num BEFORE clip: np.clip propagates NaN (zero-variance
+    # features early in training yield 0/0 cosine similarities), which
+    # would reach the uint8 cast as a RuntimeWarning + garbage pixel
+    m = np.clip(np.nan_to_num(np.asarray(mat, np.float32)), -1.0, 1.0)
     t = (m + 1.0) / 2.0  # 0..1
     r = np.clip(2.0 * t, 0, 1)
     b = np.clip(2.0 * (1.0 - t), 0, 1)

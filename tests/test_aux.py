@@ -32,6 +32,17 @@ def test_heatmap():
     assert hm[0, 1, 0] > hm[0, 1, 2]  # +1 -> red
 
 
+def test_heatmap_nan_safe():
+    # 0/0 cosine similarities (zero-variance features early in training)
+    # must not reach the uint8 cast as NaN (np.clip propagates NaN)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        hm = misc.heatmap_to_rgb(np.array([[np.nan, 1.0]]))
+    assert hm.dtype == np.uint8 and np.all(hm <= 255)
+
+
 def test_class_embedder_dropout():
     m = ClassEmbedder(n_classes=4, embed_dim=8, ucg_rate=1.0)
     y = jnp.array([0, 1, 2])
