@@ -53,7 +53,7 @@ BATCH = 8
 
 
 def build_cfg(net_mode, data_dir, lam, model_channels=96,
-              num_head_channels=48):
+              num_head_channels=48, **unet_extra):
     return Config.wrap(dict(
         net_mode=net_mode,
         train_keys=["A", "B", "C", "GT"],
@@ -72,7 +72,7 @@ def build_cfg(net_mode, data_dir, lam, model_channels=96,
             "channel_mult": [1, 1, 2, 2, 3, 3],
             "attention_resolutions": [8, 16, 32],
             "num_head_channels": num_head_channels,
-            "use_scale_shift_norm": True}},
+            "use_scale_shift_norm": True, **unet_extra}},
         num_epochs=10 ** 9, lr=1e-4, lr_warm_epoch=0,
         sampler_setting={"sampler": "ddim", "sample_steps": 50},
         seed=0, bf16=True, ema_rate=0.999,
@@ -125,7 +125,12 @@ LEGS = {"disen_on": ("ds_diff_gaussian", 0.5),   # reference default lambda
         # PROFILE.md §9: 58.9% MFU vs 38.3% at C=96) at the same budget
         # as disen_off — the quality datapoint for that operating point
         "c128": ("ds_diff_gaussian", 0.0, dict(model_channels=128,
-                                               num_head_channels=32))}
+                                               num_head_channels=32)),
+        # cond encoders pinned to one reference embedding during TRAINING
+        # (models/dsunet_cached.cond_t_ref), making the sampling-time
+        # cache exact — the fix for the -7 dB cached/faithful gap the
+        # plain split leg measured at 256²
+        "split_exact": ("ds_diff_split", 0.5, dict(cond_t_ref=500.0))}
 
 
 def _make_trainer(name, data_dir, outdir, restore=True):
