@@ -166,15 +166,23 @@ def train_chunk(name, target, data_dir, outdir, chunk=3000):
                           **{k: round(v, 4) for k, v in m0.items()}}),
               flush=True)
     until = min(done + chunk, target)
-    if until > done:
-        tr.fit(max_steps=until, log_every=200, val_every_epochs=10 ** 9)
+    # Save every sub_chunk steps (not only at chunk end): the shared axon
+    # tunnel's throughput varies 0.3-5 steps/s, so the outer wall-clock
+    # timeout can fire mid-chunk — periodic saves bound the lost work to
+    # <=sub_chunk steps instead of the whole chunk.
+    sub_chunk = 500
+    reached = done
+    while reached < until:
+        nxt = min(reached + sub_chunk, until)
+        tr.fit(max_steps=nxt, log_every=200, val_every_epochs=10 ** 9)
         m = tr.validate(max_batches=2)
-        tr.ckpt.save(until, tr.state, tr.sampler_state,
+        tr.ckpt.save(nxt, tr.state, tr.sampler_state,
                      metrics={"val_ssim": m["ssim"], "val_mae": m["mae"]})
-        print(json.dumps({"leg": name, "step": until,
+        print(json.dumps({"leg": name, "step": nxt,
                           "wall_s": round(time.time() - t0, 1),
                           **{k: round(v, 4) for k, v in m.items()}}),
               flush=True)
+        reached = nxt
     tr.ckpt.wait()
     tr.ckpt.close()
     return until
