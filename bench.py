@@ -65,7 +65,7 @@ def forward_gflops(batch, model_channels=96, channel_mult=(1, 1, 2, 2, 3, 3),
     ) / 1e9
 
 
-def build(batch, sampler="ddim", steps=STEPS):
+def build(batch, sampler="ddim", steps=STEPS, int8=False):
     from dsdiff_tpu.core import schedules
     from dsdiff_tpu.models import DSUNet
     from dsdiff_tpu.train.step import TaskConfig, make_sample_fn
@@ -93,15 +93,23 @@ def build(batch, sampler="ddim", steps=STEPS):
     if sampler == "dpm":
         kw = dict(full_sched=schedules.DiffusionSchedule.create(betas),
                   sample_steps=steps)
-    sample_fn = make_sample_fn(model.apply, rsched, task, sampler, **kw)
+    apply_fn = model.apply
+    if int8:
+        # quantized inference path (ops/quant.py): every eligible conv
+        # runs int8 x int8 -> int32 on the MXU; wrap the innermost apply
+        # so interception is active at trace time
+        from dsdiff_tpu.ops.quant import wrap_quantized
+
+        apply_fn = wrap_quantized(model.apply)
+    sample_fn = make_sample_fn(apply_fn, rsched, task, sampler, **kw)
     cond = jax.random.normal(
         jax.random.PRNGKey(1), (batch, H, H, COND_CH), jnp.float32
     )
     return params, sample_fn, cond
 
 
-def run(batch, sampler="ddim", steps=STEPS, repeats=3):
-    params, sample_fn, cond = build(batch, sampler, steps)
+def run(batch, sampler="ddim", steps=STEPS, repeats=3, int8=False):
+    params, sample_fn, cond = build(batch, sampler, steps, int8=int8)
     rng = jax.random.PRNGKey(2)
     _fetch(sample_fn(params, cond, rng))  # warmup/compile
     best = 1e9
@@ -236,6 +244,17 @@ def main():
         extras["cached_dpm20_sample_latency_s"] = round(dtcd, 3)
     except Exception:
         pass
+    # Rejected for the default path (PROFILE.md §10: 0.84x end-to-end on
+    # v5e — dynamic act-quant breaks conv fusions); opt-in so the study
+    # stays reproducible without charging every bench run its compile.
+    if os.environ.get("DSDIFF_BENCH_INT8"):
+        try:
+            dti = run(used_batch, int8=True)
+            extras["int8_fwd_per_sec"] = round(STEPS * used_batch / dti, 2)
+            extras["int8_slices_per_sec"] = round(used_batch / dti, 3)
+            extras["int8_speedup_vs_bf16"] = round(dt / dti, 2)
+        except Exception:
+            pass
     print(json.dumps({
         "metric": "dsunet_256_ddim50_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--sampler", default=None,
                     help="override sampler (ddim|dpm++|ancestral)")
     ap.add_argument("--sample_steps", type=int, default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="quantized int8-MXU inference (ops/quant.py)")
     args = ap.parse_args(argv)
 
     from ..train import Trainer, load_run_config
@@ -39,6 +41,8 @@ def main(argv=None):
     trainer.state, trainer.sampler_state = trainer.ckpt.restore(
         trainer.state, trainer.sampler_state
     )
+    if args.int8:
+        trainer.set_sampler(int8=True)
     out_dir, rows = trainer.predict(
         out_dir=args.out_dir,
         template_root=cfg.get("filepath_img"),

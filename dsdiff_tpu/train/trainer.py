@@ -496,11 +496,18 @@ class Trainer:
                     sample_steps: int | None = None,
                     ddim_eta: float | None = None,
                     cached: bool | None = None,
+                    int8: bool | None = None,
                     **solver_options):
         """Rebuild the sampling path with new settings on a live trainer —
         evaluate ONE checkpoint under ddim-50 / dpm-20 / cached-cond
         without re-instantiating (the reference rebuilds SpacedDiffusion
-        at predict time, trainer_use_gaussian_diff.py:586-600)."""
+        at predict time, trainer_use_gaussian_diff.py:586-600).
+
+        ``int8=True`` runs every eligible denoiser conv as an int8 MXU op
+        (ops/quant.py, post-training dynamic quantization) — a TPU-native
+        inference mode with no reference counterpart."""
+        if int8 is not None:
+            self.sample_int8 = bool(int8)
         assert not self.palette, "palette owns its own sampler"
         if sampler is not None:
             self.sampler_name = sampler
@@ -516,6 +523,10 @@ class Trainer:
             rescale_timesteps=bool(cfg.get("rescale_timesteps", False)),
         )
         self.rsched = rsched
+        apply_fn = self.model.apply
+        if getattr(self, "sample_int8", False):
+            from ..ops.quant import wrap_quantized
+            apply_fn = wrap_quantized(apply_fn)
         use_cached = (self.model_name == "dsunet_split"
                       if cached is None else bool(cached))
         if use_cached and self.model_name == "dsunet_split":
@@ -529,7 +540,7 @@ class Trainer:
             }
             opts.update(solver_options)
             self.sample_fn = make_sample_fn(
-                self.model.apply, rsched, self.task, self.sampler_name,
+                apply_fn, rsched, self.task, self.sampler_name,
                 self.eta,
                 clip_denoised=bool(cfg.get("clip_denoised", True)),
                 out_channels=self.base_out,
@@ -854,4 +865,7 @@ class Trainer:
             return S.ddim_sample_loop(rsched, denoise, x_T, loop_rng,
                                       eta=eta, **common)
 
+        if getattr(self, "sample_int8", False):
+            from ..ops.quant import wrap_quantized
+            fn = wrap_quantized(fn)
         return jax.jit(fn)
