@@ -62,6 +62,11 @@ def make_beta_schedule(
         betas = np.linspace(
             scale * 0.0001, scale * 0.02, n_timestep, dtype=np.float64
         )
+        # the 1000/T scaling pushes beta past 1 for T < ~21, where
+        # alpha = 1-beta <= 0 makes every downstream sqrt/log NaN; clamp
+        # to max_beta as the cosine branch does (identical for all
+        # production T — beta_end = 20/T < 0.999 whenever T > 20)
+        betas = np.clip(betas, 0.0, max_beta)
     elif schedule == "cosine":
         # reference training_project/utils/gaussian_diffusion.py:52-67 and
         # ldm/modules/diffusionmodules/util.py:35-43

@@ -19,7 +19,7 @@ Reference inference/test_metrics.py uses torchmetrics FID (:326) and VIF
 from __future__ import annotations
 
 import numpy as np
-from scipy import linalg, ndimage
+from scipy import ndimage
 
 __all__ = [
     "FeatureStats",
@@ -76,19 +76,37 @@ class FeatureStats:
         )
 
 
+def _psd_sqrt(c: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigendecomposition (negative eigvals
+    from sampling noise are clipped to zero)."""
+    w, v = np.linalg.eigh((c + c.T) / 2.0)
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
 def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
-    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2))."""
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)).
+
+    Tr(sqrt(C1 C2)) is computed as sum(sqrt(eigvals(S1 C2 S1))) with
+    S1 = sqrt(C1): C1 C2 is similar to the symmetric PSD matrix S1 C2 S1,
+    so their eigenvalues agree and the whole computation stays in real
+    symmetric eigensolvers (scipy's general ``sqrtm(disp=False)`` is
+    deprecated in 1.16 and removed in 1.18; it also needed a complex
+    Schur pass on a matrix that is PSD-similar anyway)."""
     mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
     cov1, cov2 = np.asarray(cov1), np.asarray(cov2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
-    if not np.isfinite(covmean).all():
+
+    def tr_sqrt_prod(c1, c2):
+        s1 = _psd_sqrt(c1)
+        w = np.linalg.eigvalsh((lambda m: (m + m.T) / 2.0)(s1 @ c2 @ s1))
+        return float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
+
+    tr_covmean = tr_sqrt_prod(cov1, cov2)
+    if not np.isfinite(tr_covmean):
         offset = np.eye(cov1.shape[0]) * eps
-        covmean, _ = linalg.sqrtm((cov1 + offset) @ (cov2 + offset),
-                                  disp=False)
-    covmean = np.real(covmean)
+        tr_covmean = tr_sqrt_prod(cov1 + offset, cov2 + offset)
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
-                 - 2.0 * np.trace(covmean))
+                 - 2.0 * tr_covmean)
 
 
 def fid(real_images, fake_images, extractor=None, batch: int = 16) -> float:

@@ -30,7 +30,6 @@ reference's inference is fp32/fp16 torch, model_architecture_thesis.md
 from __future__ import annotations
 
 import contextlib
-import threading
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -45,13 +44,6 @@ __all__ = [
     "int8_convs",
     "wrap_quantized",
 ]
-
-_state = threading.local()
-
-
-def _cfg():
-    return getattr(_state, "cfg", None)
-
 
 def quantize_weight(w: jax.Array, reduce_axes=(0, 1, 2)):
     """Symmetric per-output-channel int8 quantization of a conv kernel.
@@ -120,8 +112,11 @@ def _eligible(mod: nn.Conv, x: jax.Array, min_channels: int) -> bool:
         return False
     if getattr(mod, "mask", None) is not None:
         return False
-    if isinstance(mod.padding, str) and mod.padding not in ("SAME", "VALID"):
-        return False  # CIRCULAR/CAUSAL: leave to flax
+    if isinstance(mod.padding, str):
+        if mod.padding not in ("SAME", "VALID"):
+            return False  # CIRCULAR/CAUSAL: leave to flax
+    elif not isinstance(mod.padding, (int, tuple, list)):
+        return False  # callable padding: _norm_padding can't handle it
     cin = x.shape[-1]
     cout = mod.features
     return cin >= min_channels and cout >= min_channels
@@ -159,13 +154,8 @@ def int8_convs(min_channels: int = 32):
     """Context manager: every eligible ``nn.Conv`` applied (or traced)
     inside runs as an int8 MXU conv. Must be active while the function is
     *traced* (wrap the function body, not an already-jitted callable)."""
-    prev = _cfg()
-    _state.cfg = {"min_channels": min_channels}
-    try:
-        with nn.intercept_methods(_make_interceptor(min_channels)):
-            yield
-    finally:
-        _state.cfg = prev
+    with nn.intercept_methods(_make_interceptor(min_channels)):
+        yield
 
 
 def wrap_quantized(fn: Callable[..., Any], min_channels: int = 32):

@@ -380,6 +380,7 @@ class Trainer:
         max_steps: int | None = None,
         log_every: int = 50,
         val_every_epochs: int | None = None,
+        val_on_done: bool = True,
     ):
         assert self.train_loader is not None, "no dataset configured"
         cfg = self.cfg
@@ -388,6 +389,14 @@ class Trainer:
         step_rng, self.rng = jax.random.split(self.rng)
         step = int(jax.device_get(self.state.step))
         done = False
+        # Resume the epoch stream where the restored step left off: the
+        # loader keys shuffle + augmentation RNG on (seed, epoch, index)
+        # (data/pipeline.py), so restarting at epoch 0 after a checkpoint
+        # restore would replay the identical augmented data stream each
+        # fit() call (chunked drivers restart fit() every few hundred
+        # steps — advisor r3). Mid-epoch restores replay at most the
+        # current partial epoch.
+        epoch0 = step // max(len(self.train_loader), 1)
         # shannon-entropy warm-up curriculum (trainer_use_gaussian_diff
         # :172-234 / train_util.py:217-228)
         curriculum = None
@@ -433,7 +442,7 @@ class Trainer:
                 for _ in range(len(self.train_loader)):
                     yield None  # sentinel: batch produced on device below
 
-        for epoch in range(num_epochs):
+        for epoch in range(epoch0, num_epochs):
             t_ep = time.time()
             for batch in epoch_batches(epoch):
                 if curriculum is not None and step < warmup_steps:
@@ -480,7 +489,10 @@ class Trainer:
             journal(self.workdir,
                     f"epoch {epoch} done in {time.time()-t_ep:.1f}s "
                     f"(step {step})")
-            if (epoch + 1) % val_every == 0 or done:
+            # val_on_done=False lets chunked drivers that run their own
+            # validate+save after fit() skip the duplicate exit
+            # validation (8 batches of full sampling) + save (advisor r3)
+            if (epoch + 1) % val_every == 0 or (done and val_on_done):
                 vm = self.validate(max_batches=int(
                     cfg.get("limit_val_batches", 8)))
                 self.ckpt.save(step, self.state, self.sampler_state,

@@ -174,7 +174,8 @@ def train_chunk(name, target, data_dir, outdir, chunk=3000):
     reached = done
     while reached < until:
         nxt = min(reached + sub_chunk, until)
-        tr.fit(max_steps=nxt, log_every=200, val_every_epochs=10 ** 9)
+        tr.fit(max_steps=nxt, log_every=200, val_every_epochs=10 ** 9,
+               val_on_done=False)  # the loop below does its own val+save
         m = tr.validate(max_batches=2)
         tr.ckpt.save(nxt, tr.state, tr.sampler_state,
                      metrics={"val_ssim": m["ssim"], "val_mae": m["mae"]})
@@ -224,7 +225,8 @@ def drive(steps, steps_split, outdir):
 
     me = str(Path(__file__).resolve())
     targets = {"disen_on": steps, "disen_off": steps, "split": steps_split,
-               "disen_mid": steps}
+               "disen_mid": steps, "split_exact": steps_split,
+               "c128": steps}
     results = {}
     for name, target in targets.items():
         while True:
