@@ -23,9 +23,15 @@ Extra keys report two faster reference-endorsed operating points:
 - ``dpm20_*``: DPM-Solver++ 2M at 20 steps (the reference quotes
   DPM-Solver 20 steps ~= 2 s/sample as a supported setting,
   model_architecture_thesis.md:552-560).
-- ``cached_cond_*``: condition-encoder features frozen at t_ref=500
-  (models/dsunet_cached.py) — an approximation; its SSIM delta vs the
-  faithful path is tracked in PARITY.md.
+- ``cached_cond_*``: condition-encoder features encoded ONCE per sample
+  call at t_ref=500 (models/dsunet_cached.py). The timed graph is shared
+  by both cached variants — approximate (cache only at inference; costs
+  ~7 dB PSNR at 256², measured r3) and exact (``cond_t_ref`` pins the
+  encoders to t_ref during training too; no quality loss) — so these
+  throughput numbers carry an honest quality pairing only with
+  ``cond_t_ref`` training; see PARITY.md's 256² cached-cond table.
+- ``train_*``: the flagship training step's operating point (steps/sec,
+  algorithmic + hardware MFU) so BENCH_r*.json records both directions.
 """
 import json
 import os
@@ -170,6 +176,67 @@ def run_cached(batch, sampler="ddim", steps=STEPS):
     return best
 
 
+def run_train(batch=8, n=30, remat=True):
+    """Training-side operating point (VERDICT r3 item 7): ~30 post-warmup
+    flagship train steps at 256^2 — the scripts/bench_train.py measurement
+    folded into the driver-captured bench so BENCH_r*.json records BOTH
+    directions. MFU uses algorithmic FLOPs (3x fwd); remat recompute counts
+    only toward hw_tflops (PROFILE.md §7 accounting)."""
+    from dsdiff_tpu.core import schedules
+    from dsdiff_tpu.models import DSUNet
+    from dsdiff_tpu.train import TrainState, make_optimizer
+    from dsdiff_tpu.train import schedule_sampler as ss
+    from dsdiff_tpu.train.step import TaskConfig, make_train_step
+
+    model = DSUNet(
+        in_channels=4, model_channels=96, out_channels=2,
+        num_res_blocks=2, attention_resolutions=(8, 16, 32),
+        channel_mult=(1, 1, 2, 2, 3, 3), num_head_channels=48,
+        use_scale_shift_norm=True, remat=remat, dtype=jnp.bfloat16,
+    )
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, H, H, 4), jnp.float32),
+                        jnp.zeros((1,)))
+    sched = schedules.DiffusionSchedule.named("linear", 1000)
+    task = TaskConfig(parameterization="v", loss_type="charbonnier",
+                      learn_sigma=True, feature_kind="ds",
+                      disentangle_mode="eu", disen_lambda=0.5)
+    state = TrainState.create(model.apply, params, make_optimizer(1e-4))
+    sampler = ss.uniform_init(1000)
+    step_fn = make_train_step(task, sched, donate=True)
+    batch_data = {
+        "target": jax.random.normal(jax.random.PRNGKey(1), (batch, H, H, 1)),
+        "image": jax.random.normal(jax.random.PRNGKey(2), (batch, H, H, 3)),
+    }
+    rng = jax.random.PRNGKey(3)
+    state, sampler, m = step_fn(state, sampler, batch_data, rng)
+    float(np.asarray(m["loss"]))  # warmup barrier
+    t0 = time.perf_counter()
+    # successive steps consume the previous (donated) state — the chain is
+    # data-dependent, so no dispatch-cache or overlap artifacts
+    for _ in range(n):
+        state, sampler, m = step_fn(state, sampler, batch_data, rng)
+    float(np.asarray(m["loss"]))
+    dt = (time.perf_counter() - t0) / n
+    fwd_f = forward_gflops(batch) * 1e9
+    algo_f = 3.0 * fwd_f
+    dev = str(jax.devices()[0])
+    peak = next(
+        (v for k, v in PEAK_BF16_TFLOPS.items() if k in dev), None)
+    out = {
+        "train_steps_per_sec": round(1.0 / dt, 3),
+        "train_slices_per_sec": round(batch / dt, 2),
+        "train_batch": batch,
+        "train_tflops_per_sec": round(algo_f / dt / 1e12, 2),
+    }
+    if peak:
+        peak_f = peak * 1e12
+        hw_f = algo_f + (fwd_f if remat else 0.0)
+        out["train_mfu_pct"] = round(100.0 * algo_f / dt / peak_f, 2)
+        out["train_hw_mfu_pct"] = round(100.0 * hw_f / dt / peak_f, 2)
+    return out
+
+
 def _require_devices(timeout_s: float = 240.0):
     """Fail fast if the TPU backend is unreachable (the tunneled axon
     client retries forever on a dead relay, which would hang the bench
@@ -242,6 +309,10 @@ def main():
         dtcd = run_cached(used_batch, sampler="dpm++", steps=20)
         extras["cached_dpm20_slices_per_sec"] = round(used_batch / dtcd, 3)
         extras["cached_dpm20_sample_latency_s"] = round(dtcd, 3)
+    except Exception:
+        pass
+    try:
+        extras.update(run_train(batch=min(used_batch, 8)))
     except Exception:
         pass
     # Rejected for the default path (PROFILE.md §10: 0.84x end-to-end on

@@ -7,9 +7,13 @@ one GSPMD mesh; gradient bucketing/no_sync microbatching become XLA-inserted
 collectives over ICI. The mesh axes:
 
 - ``data``  — batch (data-parallel). Collectives: psum of grads (XLA emits).
-- ``fsdp``  — optional parameter/optimizer sharding axis (ZeRO-style); the
-  24M-param flagship doesn't need it, but the axis is first-class so larger
-  backbones (DiT-XL) shard without code changes.
+- ``fsdp``  — parameter/optimizer sharding axis (ZeRO-style). ``state_
+  sharding`` places the FULL TrainState: params, EMA *and* the Adam moments
+  (mu/nu are 2x the param bytes — the dominant memory term ZeRO removes;
+  the memory role of the reference's fp16 master params + DDP,
+  Disc_diff/guided_diffusion/train_util.py:111-127). The 94M-param flagship
+  doesn't need it, but the axis is first-class so the C=320/1.04B config
+  and DiT-XL shard without code changes.
 
 Batches are host->device transferred already sharded via
 ``jax.make_array_from_process_local_data`` in multi-process mode, or a simple
@@ -28,6 +32,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "param_sharding",
+    "state_sharding",
+    "sharded_byte_fraction",
     "shard_batch",
     "local_mesh",
 ]
@@ -87,6 +93,40 @@ def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2**18):
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec_for, params)
+
+
+def state_sharding(mesh: Mesh, state, min_size_to_shard: int = 2**18):
+    """ZeRO sharding specs for a full TrainState pytree.
+
+    Applies the ``param_sharding`` largest-divisible-axis rule to params,
+    EMA *and* the optimizer state (the Adam mu/nu trees mirror the param
+    tree, so each moment leaf lands on the same axis as its parameter;
+    scalars like the Adam ``count`` replicate). This is what makes 'fsdp'
+    actually ZeRO: optimizer moments are 2x the parameter bytes — the
+    dominant memory term at C=320/1.04B scale (PROFILE.md §9). Reference
+    stake: the memory role of fp16 master params + DDP in
+    Disc_diff/guided_diffusion/train_util.py:111-127.
+
+    Works on a concrete TrainState or an eval_shape'd one (AOT planning).
+    """
+    return state.replace(
+        step=replicated(mesh),
+        params=param_sharding(mesh, state.params, min_size_to_shard),
+        ema_params=param_sharding(mesh, state.ema_params,
+                                  min_size_to_shard),
+        opt_state=param_sharding(mesh, state.opt_state, min_size_to_shard),
+    )
+
+
+def sharded_byte_fraction(tree, shardings) -> float:
+    """Fraction of ``tree``'s bytes whose sharding has an 'fsdp' axis."""
+    tot = shard = 0
+    for leaf, sh in zip(jax.tree.leaves(tree), jax.tree.leaves(shardings)):
+        nb = leaf.size * leaf.dtype.itemsize
+        tot += nb
+        if any(ax == "fsdp" for ax in sh.spec):
+            shard += nb
+    return shard / max(tot, 1)
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:

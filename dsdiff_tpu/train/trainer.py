@@ -263,9 +263,17 @@ class Trainer:
         self.sampler_state = ss.make_schedule_sampler(
             cfg.get("schedule_sampler", "uniform"), T
         )
-        # replicate state over the mesh
+        # place state over the mesh: params/EMA/optimizer moments ZeRO-
+        # sharded over 'fsdp' (degenerates to replication when n_fsdp==1),
+        # sampler buffers replicated. The sharded TrainState flows through
+        # fit -> Orbax save/restore -> predict unchanged: Orbax serializes
+        # global arrays and restores onto the template's shardings.
+        self.state_shardings = pmesh.state_sharding(
+            self.mesh, self.state,
+            min_size_to_shard=int(cfg.get("fsdp_min_size", 2**18)),
+        )
         rep = pmesh.replicated(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        self.state = jax.device_put(self.state, self.state_shardings)
         self.sampler_state = jax.device_put(self.sampler_state, rep)
 
         # ---- steps
@@ -517,9 +525,12 @@ class Trainer:
 
         ``int8=True`` runs every eligible denoiser conv as an int8 MXU op
         (ops/quant.py, post-training dynamic quantization) — a TPU-native
-        inference mode with no reference counterpart."""
+        inference mode with no reference counterpart. ``int8='static'``
+        additionally runs a calibration pass over val batches at several
+        noise levels and bakes the activation scales in as constants
+        (PROFILE.md §10's static-calibration variant)."""
         if int8 is not None:
-            self.sample_int8 = bool(int8)
+            self.sample_int8 = int8 if int8 == "static" else bool(int8)
         assert not self.palette, "palette owns its own sampler"
         if sampler is not None:
             self.sampler_name = sampler
@@ -538,7 +549,9 @@ class Trainer:
         apply_fn = self.model.apply
         if getattr(self, "sample_int8", False):
             from ..ops.quant import wrap_quantized
-            apply_fn = wrap_quantized(apply_fn)
+            scales = (self._calibrate_int8_scales()
+                      if self.sample_int8 == "static" else None)
+            apply_fn = wrap_quantized(apply_fn, act_scales=scales)
         use_cached = (self.model_name == "dsunet_split"
                       if cached is None else bool(cached))
         if use_cached and self.model_name == "dsunet_split":
@@ -561,6 +574,37 @@ class Trainer:
                 solver_options=opts,
                 patch_params=cfg.get("split_input_params"),
             )
+
+    def _calibrate_int8_scales(self, n_batches: int = 2,
+                               t_points=(25, 250, 500, 750, 975)):
+        """Static int8 calibration: record per-conv activation max-abs on
+        denoiser forwards over real val conditions at several noise levels
+        (covering the sampling trajectory), using the EMA params the
+        sampler will run. Returns {conv-path: float scale} for
+        ops.quant.wrap_quantized."""
+        from ..core import process
+        from ..ops.quant import calibrate_act_scales
+
+        assert self.val_loader is not None, "calibration needs val data"
+        T = len(self.betas)
+        rng = jax.random.PRNGKey(17)
+        inputs = []
+        for i, batch in enumerate(self.val_loader.epoch(0)):
+            if i >= n_batches:
+                break
+            cond = jnp.asarray(batch["image"])
+            x0 = jnp.asarray(batch["target"])
+            for t in t_points:
+                rng, k = jax.random.split(rng)
+                tt = jnp.full((x0.shape[0],), min(int(t), T - 1))
+                noise = jax.random.normal(k, x0.shape)
+                x_t = process.q_sample(self.sched, x0, tt, noise)
+                inputs.append((
+                    self.state.ema_params,
+                    jnp.concatenate([x_t, cond], -1),
+                    tt.astype(jnp.float32),
+                ))
+        return calibrate_act_scales(self.model.apply, inputs)
 
     def validate(self, max_batches: int = 8) -> dict:
         assert self.val_loader is not None

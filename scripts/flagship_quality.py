@@ -23,8 +23,14 @@ Legs (each ~10k steps at b=8 ≈ 35 min on one v5e chip):
   3. split      : ds_diff_split (cached-cond architecture), shorter budget,
                   cached vs faithful delta at 256²
 
-Usage: python scripts/flagship_quality.py [steps] [steps_split] [outdir]
-Emits JSON lines; transcribe into PARITY.md.
+Usage: python scripts/flagship_quality.py [leg=steps ...] [outdir]
+       (legacy: python scripts/flagship_quality.py [steps] [steps_split]
+        [outdir])
+With no leg pairs, runs the r4 default campaign: split=4000
+split_exact=6000 c128=3000 disen_off=5000 disen_mid=5000 disen_on=5000 —
+cached-cond integrity legs first, then the equal-budget lambda table.
+Results flush to <outdir>/results.json after every leg; a re-run skips
+already-evaluated legs. Emits JSON lines; transcribe into PARITY.md.
 """
 import json
 import os
@@ -218,17 +224,28 @@ def ensure_data(outdir):
     return data_dir
 
 
-def drive(steps, steps_split, outdir):
+def drive(targets, outdir):
     """Outer driver: one subprocess per <=1000-step chunk / per eval (see
-    train_chunk's docstring for why — axon transfer-buffer leak)."""
+    train_chunk's docstring for why — axon transfer-buffer leak).
+
+    ``targets`` is an ordered {leg: step_budget} dict — r4 runs the
+    integrity-critical legs (split / split_exact: the cached-cond ~7 dB
+    story) FIRST so a mid-campaign stall strands the least important
+    evidence. Results are flushed to <outdir>/results.json after EVERY
+    leg (r3 lost its whole second half to an end-of-round /tmp wipe)."""
     import subprocess
 
     me = str(Path(__file__).resolve())
-    targets = {"disen_on": steps, "disen_off": steps, "split": steps_split,
-               "disen_mid": steps, "split_exact": steps_split,
-               "c128": steps}
     results = {}
+    results_path = Path(outdir) / "results.json"
+    if results_path.exists():  # resume a prior campaign's transcribed legs
+        results = json.loads(results_path.read_text())
     for name, target in targets.items():
+        if name in results:
+            print(json.dumps({"skip": name, "reason": "already evaluated"}),
+                  flush=True)
+            continue
+        fails = 0
         while True:
             r = subprocess.run(
                 [sys.executable, me, "chunk", name, str(target),
@@ -236,19 +253,34 @@ def drive(steps, steps_split, outdir):
             sys.stdout.write(r.stdout)
             sys.stdout.flush()
             if r.returncode != 0:
+                # tunnel flake: the chunk restores from its last periodic
+                # save, so a failure loses <=sub_chunk steps — retry with
+                # backoff instead of killing the whole campaign (r3 died
+                # to exactly this)
+                fails += 1
                 sys.stderr.write(r.stderr[-4000:])
-                raise SystemExit(f"chunk {name} failed rc={r.returncode}")
+                if fails > 8:
+                    raise SystemExit(f"chunk {name} failed {fails}x")
+                time.sleep(min(60 * fails, 300))
+                continue
+            fails = 0
             reached = int(r.stdout.strip().splitlines()[-1])
             if reached >= target:
                 break
-        r = subprocess.run(
-            [sys.executable, me, "eval", name, str(outdir)],
-            capture_output=True, text=True)
-        sys.stdout.write(r.stdout)
-        sys.stdout.flush()
-        if r.returncode != 0:
+        fails = 0
+        while True:
+            r = subprocess.run(
+                [sys.executable, me, "eval", name, str(outdir)],
+                capture_output=True, text=True)
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            if r.returncode == 0:
+                break
+            fails += 1
             sys.stderr.write(r.stderr[-4000:])
-            raise SystemExit(f"eval {name} failed rc={r.returncode}")
+            if fails > 4:
+                raise SystemExit(f"eval {name} failed {fails}x")
+            time.sleep(min(60 * fails, 300))
         for line in r.stdout.strip().splitlines():
             try:
                 rec = json.loads(line)
@@ -257,6 +289,7 @@ def drive(steps, steps_split, outdir):
             if "eval" in rec:
                 leg, tag = rec.pop("eval").split("/")
                 results.setdefault(leg, {})[tag] = rec
+        results_path.write_text(json.dumps(results, indent=2))
     for leg in ("disen_on", "disen_mid"):
         if leg in results and "disen_off" in results:
             results[f"{leg}_delta_ddim50"] = {
@@ -281,13 +314,35 @@ def main():
                           **eval_leg(name, ensure_data(outdir), outdir)}),
               flush=True)
         return
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-    steps_split = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
-    outdir = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(
-        "/tmp/dsdiff_flagship_quality")
+    # drive mode: positional args are either ``leg=steps`` pairs (run in
+    # the given order) or the legacy ``[steps] [steps_split] [outdir]``
+    # triple. r4 default: integrity-critical legs first, equal-budget
+    # disentangle table (VERDICT r3 items 1 + 8).
+    argv = sys.argv[1:]
+    outdir = Path("/root/repo/artifacts/fq_r4")
+    targets = {}
+    legacy = []
+    for a in argv:
+        if "=" in a:
+            leg, v = a.split("=", 1)
+            assert leg in LEGS, f"unknown leg {leg!r}"
+            targets[leg] = int(v)
+        elif a.isdigit():
+            legacy.append(int(a))
+        else:
+            outdir = Path(a)
+    if legacy:
+        steps = legacy[0]
+        steps_split = legacy[1] if len(legacy) > 1 else 6000
+        targets = {"disen_on": steps, "disen_off": steps,
+                   "split": steps_split, "disen_mid": steps,
+                   "split_exact": steps_split, "c128": steps}
+    elif not targets:
+        targets = {"split": 4000, "split_exact": 6000, "c128": 3000,
+                   "disen_off": 5000, "disen_mid": 5000, "disen_on": 5000}
     outdir.mkdir(parents=True, exist_ok=True)
     ensure_data(outdir)
-    drive(steps, steps_split, outdir)
+    drive(targets, outdir)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,82 @@ def test_wrap_quantized_composes_with_jit():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_calibrated_static_scales():
+    """calibrate_act_scales captures one scale per eligible conv; the
+    static path agrees with dynamic when calibration covers the eval
+    input, and still saturates gracefully when it doesn't."""
+    from dsdiff_tpu.ops.quant import calibrate_act_scales
+
+    m = _Tiny()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 8, 1))
+    params = m.init(jax.random.PRNGKey(1), x)
+
+    def fwd(xx):
+        return m.apply(params, xx)
+
+    scales = calibrate_act_scales(fwd, [(x,)], min_channels=32)
+    assert scales and all(isinstance(v, float) and v > 0
+                          for v in scales.values())
+    # every key resolves to a module path inside the model (eligible convs
+    # only — the 1-channel stem must NOT be calibrated)
+    assert all("/" not in k or not k.startswith("stem") for k in scales)
+
+    with int8_convs(min_channels=32):
+        dyn = m.apply(params, x)
+    with int8_convs(min_channels=32, act_scales=scales):
+        stat = m.apply(params, x)
+    # calibrated on the same input -> identical scales -> identical output
+    np.testing.assert_allclose(np.asarray(stat), np.asarray(dyn),
+                               rtol=1e-5, atol=1e-5)
+
+    # out-of-range input saturates (stays finite, bounded error)
+    with int8_convs(min_channels=32, act_scales=scales):
+        hot = m.apply(params, x * 10.0)
+    assert np.isfinite(np.asarray(hot)).all()
+
+
+def test_calibrated_sampling_chain():
+    """Static scales bake into the jitted DDIM scan (no tracer leak) and
+    the chain stays close to the dynamic-quantized chain."""
+    from dsdiff_tpu.core import schedules
+    from dsdiff_tpu.models.dsunet import DSUNet
+    from dsdiff_tpu.ops.quant import calibrate_act_scales
+    from dsdiff_tpu.train.step import TaskConfig, make_sample_fn
+
+    m = DSUNet(in_channels=4, out_channels=2, model_channels=32,
+               num_res_blocks=1, channel_mult=(1, 2),
+               attention_resolutions=(), num_heads=2)
+    x = jnp.zeros((1, 16, 16, 4))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    betas = schedules.make_beta_schedule("linear", 20)
+    rsched = schedules.respace(betas, schedules.space_timesteps(20, "5"))
+    task = TaskConfig(parameterization="v", loss_type="charbonnier",
+                      learn_sigma=True)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+
+    # calibrate the denoiser at a few (x_t, t) points along the trajectory
+    cal_rng = jax.random.PRNGKey(3)
+    inputs = []
+    for t in (0.0, 9.0, 19.0):
+        cal_rng, k = jax.random.split(cal_rng)
+        x_t = jax.random.normal(k, (2, 16, 16, 1))
+        inputs.append((params, jnp.concatenate([x_t, cond], -1),
+                       jnp.full((2,), t)))
+    scales = calibrate_act_scales(m.apply, inputs, min_channels=32)
+    assert scales
+
+    out_dyn = make_sample_fn(
+        wrap_quantized(m.apply), rsched, task, "ddim")(
+        params, cond, jax.random.PRNGKey(2))
+    out_stat = make_sample_fn(
+        wrap_quantized(m.apply, act_scales=scales), rsched, task, "ddim")(
+        params, cond, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(out_stat)).all()
+    diff = float(jnp.max(jnp.abs(out_stat - out_dyn)))
+    assert diff < 0.5, diff
+
+
 def test_int8_sampling_chain():
     """The full DDIM sampling scan with a quantized apply_fn compiles and
     produces finite output (the bench.py int8=True path at tiny scale)."""
