@@ -26,8 +26,9 @@ Extra keys report two faster reference-endorsed operating points:
 - ``cached_cond_*``: condition-encoder features encoded ONCE per sample
   call at t_ref=500 (models/dsunet_cached.py). The timed graph is shared
   by both cached variants — approximate (cache only at inference; costs
-  ~7 dB PSNR at 256², measured r3) and exact (``cond_t_ref`` pins the
-  encoders to t_ref during training too; no quality loss) — so these
+  9.6 dB PSNR at 256², full-val r4 measurement) and exact (``cond_t_ref``
+  pins the encoders to t_ref during training too; cached == faithful to
+  0.004 dB) — so these
   throughput numbers carry an honest quality pairing only with
   ``cond_t_ref`` training; see PARITY.md's 256² cached-cond table.
 - ``train_*``: the flagship training step's operating point (steps/sec,

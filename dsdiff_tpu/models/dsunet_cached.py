@@ -21,9 +21,10 @@ Training uses ``__call__`` (full forward, exact reference math with per-t
 condition embeddings). Caching is a sampling-time approximation: condition
 features are frozen at one timestep's embedding.
 
-Round-3 measurement: that approximation is within noise at 64² but costs
-~7 dB PSNR at the flagship 256² (PARITY.md) — the decoder learns to rely
-on t-conditioned condition skips. ``cond_t_ref`` removes the mismatch at
+Measured (full val fold, PARITY.md 256² cached-cond table): that
+approximation is within noise at 64² but costs 9.6 dB PSNR at the
+flagship 256² (faithful 38.95 dB vs cached 29.37 dB on the same weights)
+— the decoder learns to rely on t-conditioned condition skips. ``cond_t_ref`` removes the mismatch at
 the root: when set, the condition encoders receive the SAME fixed
 reference embedding during training and sampling, so ``denoise_cached``
 is mathematically identical to the full forward (caching becomes exact,
