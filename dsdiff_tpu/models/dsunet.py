@@ -22,6 +22,12 @@ TPU-native re-design of the reference's novel DSUnetModel
 - Decoder skips are the mean of the four encoders' skips (model.py:745).
 - Returns ``(prediction, features)`` with the feature groups the contrastive
   losses consume (model.py:751-756) — lists become stacked [k, B, ...] arrays.
+- ``use_edge=True`` is the edge-guided (EG) variant of the thesis ablation
+  (model_architecture_thesis.md:385-392): the LAST input channel is an edge
+  map that is concatenated onto the NOISE stream's stem — the noise encoder
+  sees 2 channels, the condition streams are unchanged
+  (UNet_DS_Diff/49_model.py:296 — noise stem widened to in+1 — and
+  :376,:710-713 — ``input_n = cat([input_n, input_edge])``).
 """
 from __future__ import annotations
 
@@ -97,6 +103,13 @@ class DSUNet(nn.Module):
     # shapes); 'vmap': one encoder vmapped over the stream axis (params carry
     # a leading [4] axis)
     stream_mode: str = "sequential"
+    # edge guidance (49_model.py:296,376,710-713): the last input channel is
+    # an edge map routed onto the noise stream's stem. In 'vmap' mode the
+    # condition streams are zero-padded to the noise stream's 2-channel width
+    # so one vmapped encoder still serves all four streams (the zero channel's
+    # stem weights train but receive no signal — capacity-equivalent to the
+    # reference's widened noise stem).
+    use_edge: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -130,38 +143,41 @@ class DSUNet(nn.Module):
         deterministic: bool = True,
     ):
         B, H, W, C = x.shape
+        edge = None
+        if self.use_edge:
+            # edge guidance: last channel is the edge map, destined for the
+            # noise stream's stem only (49_model.py:710-713)
+            edge = x[..., -1:]
+            x = x[..., :-1]
+            C -= 1
         # stream split (model.py:652-663); channel-last: [..., 0]=noise
         if C == 2:
-            streams = jnp.stack(
-                [
-                    x[..., 0:1],
-                    x[..., 1:2],
-                    jnp.zeros_like(x[..., 0:1]),
-                    jnp.zeros_like(x[..., 0:1]),
-                ],
-                axis=0,
-            )
+            stream_list = [
+                x[..., 0:1],
+                x[..., 1:2],
+                jnp.zeros_like(x[..., 0:1]),
+                jnp.zeros_like(x[..., 0:1]),
+            ]
         elif C == 3:
             # two conditions: lesion stream zero-padded (extends the
             # reference's 2-channel fallback to 3)
-            streams = jnp.stack(
-                [
-                    x[..., 0:1],
-                    x[..., 1:2],
-                    x[..., 2:3],
-                    jnp.zeros_like(x[..., 0:1]),
-                ],
-                axis=0,
-            )
+            stream_list = [
+                x[..., 0:1],
+                x[..., 1:2],
+                x[..., 2:3],
+                jnp.zeros_like(x[..., 0:1]),
+            ]
         elif C == N_STREAMS:
             # [noise, anatomy, anatomy+lesion, lesion]
-            streams = jnp.stack(
-                [x[..., i : i + 1] for i in range(N_STREAMS)], axis=0
-            )
+            stream_list = [x[..., i : i + 1] for i in range(N_STREAMS)]
         else:
             raise ValueError(
-                f"DSUNet expects 2-4 input channels, got {C}"
+                f"DSUNet expects 2-4 input channels"
+                f"{' plus an edge channel' if self.use_edge else ''}, "
+                f"got {C}"
             )
+        if edge is not None:
+            stream_list[0] = jnp.concatenate([stream_list[0], edge], axis=-1)
 
         ch0 = self.model_channels
         time_dim = ch0 * 4
@@ -175,7 +191,7 @@ class DSUNet(nn.Module):
             # scripts/grouped_conv_probe.py) — sequential dense calls win
             outs = [
                 UNetEncoder(**kw, name=f"encoder_{s}")(
-                    streams[s], emb, context
+                    stream_list[s], emb, context
                 )
                 for s in range(N_STREAMS)
             ]
@@ -185,7 +201,20 @@ class DSUNet(nn.Module):
                 for parts in zip(*[o[1] for o in outs])
             ]
         else:
-            # one encoder vmapped over the stream axis, per-stream params
+            # one encoder vmapped over the stream axis, per-stream params;
+            # streams must share a channel width, so under use_edge the
+            # condition streams get a zero channel alongside (see attr doc)
+            width = max(s.shape[-1] for s in stream_list)
+            streams = jnp.stack(
+                [
+                    s if s.shape[-1] == width else jnp.concatenate(
+                        [s, jnp.zeros(s.shape[:-1] + (width - s.shape[-1],),
+                                      s.dtype)], axis=-1
+                    )
+                    for s in stream_list
+                ],
+                axis=0,
+            )
             StreamEncoder = nn.vmap(
                 UNetEncoder,
                 in_axes=(0, None, None),

@@ -68,6 +68,11 @@ class DSUNetSplit(nn.Module):
     # the sampling-time cache exact instead of an approximation. None
     # keeps the original per-t behavior.
     cond_t_ref: float | None = None
+    # Edge guidance (49_model.py:296,376,710-713): input carries a 5th
+    # channel (an edge map) that is concatenated onto the NOISE encoder's
+    # input only; condition encoders are unchanged, so caching semantics
+    # are identical with or without the edge.
+    use_edge: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -139,6 +144,8 @@ class DSUNetSplit(nn.Module):
         if self.cond_t_ref is not None:
             t_ref = jnp.full(t_ref.shape, self.cond_t_ref, jnp.float32)
         emb = self.time_embed(t_ref)
+        # under use_edge the trainer's cond stack carries [a, al, l, edge];
+        # the edge belongs to the noise stream, not the condition encoders
         streams = jnp.stack([cond[..., i : i + 1] for i in range(3)], axis=0)
         return self._encode_cond_streams(streams, emb)
 
@@ -206,7 +213,8 @@ class DSUNetSplit(nn.Module):
     def denoise_cached(self, x_noise: jnp.ndarray, t: jnp.ndarray, cache):
         """Per-step forward against cached condition activations.
 
-        x_noise: [B, H, W, 1]; cache = (h_cond, skips_cond) from
+        x_noise: [B, H, W, 1] — or [B, H, W, 2] ([noise, edge]) when
+        ``use_edge``; cache = (h_cond, skips_cond) from
         :meth:`encode_conditions`.
         """
         h_cond, skips_cond = cache
@@ -219,14 +227,22 @@ class DSUNetSplit(nn.Module):
                  context=None, *, deterministic: bool = True):
         """Full forward (training; exact per-t condition embeddings).
 
-        x: [B, H, W, 4] = [noise, a, al, l]. ``context``/``deterministic``
+        x: [B, H, W, 4] = [noise, a, al, l], or [B, H, W, 5] =
+        [noise, a, al, l, edge] under ``use_edge`` (the edge joins the noise
+        encoder's input, 49_model.py:710-713). ``context``/``deterministic``
         accepted for trainer-signature compatibility (dropout is configured
         at construction; this variant targets dropout=0 configs).
         """
         del context, deterministic
-        assert x.shape[-1] == 4, "DSUNetSplit expects 4 channels"
+        want = 5 if self.use_edge else 4
+        assert x.shape[-1] == want, (
+            f"DSUNetSplit(use_edge={self.use_edge}) expects {want} "
+            f"channels, got {x.shape[-1]}"
+        )
         emb = self.time_embed(t)
-        h_n, skips_n = self.noise_encoder(x[..., 0:1], emb, None)
+        x_n = (jnp.concatenate([x[..., 0:1], x[..., 4:5]], axis=-1)
+               if self.use_edge else x[..., 0:1])
+        h_n, skips_n = self.noise_encoder(x_n, emb, None)
         h_n = self.middle(h_n, emb, None)
         streams = jnp.stack([x[..., i : i + 1] for i in (1, 2, 3)], axis=0)
         h_cond, skips_cond = self._encode_cond_streams(
@@ -237,16 +253,25 @@ class DSUNetSplit(nn.Module):
 def make_cached_denoiser(model: DSUNetSplit, params, cond: jnp.ndarray,
                          t_ref: float = 500.0):
     """Build a (x_noise, t) -> output denoiser with the condition encoders
-    evaluated once (outside any sampling scan)."""
+    evaluated once (outside any sampling scan).
+
+    Under ``use_edge`` the trainer's cond stack is [a, al, l, edge]; the
+    edge channel is peeled off here and re-joined to every per-step noise
+    input (it is static across the reverse chain, like the conditions)."""
     B = cond.shape[0]
+    edge = None
+    if model.use_edge:
+        edge = cond[..., 3:4]
+        cond = cond[..., :3]
     cache = model.apply(
         params, cond, jnp.full((B,), t_ref, jnp.float32),
         method=DSUNetSplit.encode_conditions,
     )
 
     def denoise(x, t_model):
+        xin = x if edge is None else jnp.concatenate([x, edge], axis=-1)
         out, _feats = model.apply(
-            params, x, t_model, cache, method=DSUNetSplit.denoise_cached
+            params, xin, t_model, cache, method=DSUNetSplit.denoise_cached
         )
         return out
 

@@ -197,6 +197,10 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.get("bf16", True) else jnp.float32
         if model_name in ("dsunet", "dsunet_split"):
             model_params.setdefault("model_channels", 96)
+            # edge guidance: the pipeline appends the edge map as the LAST
+            # cond channel; DSUNet routes it onto the noise stream's stem
+            # (49_model.py:296,376,710-713)
+            model_params.setdefault("use_edge", bool(self.use_edge))
             self.model = build_model(
                 model_name, in_channels=in_ch, out_channels=out_ch,
                 dtype=dtype,
