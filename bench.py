@@ -33,6 +33,10 @@ Extra keys report two faster reference-endorsed operating points:
   ``cond_t_ref`` training; see PARITY.md's 256² cached-cond table.
 - ``train_*``: the flagship training step's operating point (steps/sec,
   algorithmic + hardware MFU) so BENCH_r*.json records both directions.
+- ``c128_*``: inference + train at model_channels=128 / head-dim 32
+  (configs/dsdiff_flagship128.yaml) — the TPU-recommended width for new
+  tasks (PROFILE.md §9: v5e MXU lanes are 128-wide, C=96 pads every conv
+  operand). C=96 stays the headline for reference-checkpoint parity.
 """
 import json
 import os
@@ -72,19 +76,20 @@ def forward_gflops(batch, model_channels=96, channel_mult=(1, 1, 2, 2, 3, 3),
     ) / 1e9
 
 
-def build(batch, sampler="ddim", steps=STEPS, int8=False):
+def build(batch, sampler="ddim", steps=STEPS, int8=False,
+          model_channels=96, num_head_channels=48):
     from dsdiff_tpu.core import schedules
     from dsdiff_tpu.models import DSUNet
     from dsdiff_tpu.train.step import TaskConfig, make_sample_fn
 
     model = DSUNet(
         in_channels=1 + COND_CH,
-        model_channels=96,
+        model_channels=model_channels,
         out_channels=2,  # learn_sigma
         num_res_blocks=2,
         attention_resolutions=(8, 16, 32),
         channel_mult=(1, 1, 2, 2, 3, 3),
-        num_head_channels=48,
+        num_head_channels=num_head_channels,
         use_scale_shift_norm=True,
         dtype=jnp.bfloat16,
     )
@@ -115,8 +120,12 @@ def build(batch, sampler="ddim", steps=STEPS, int8=False):
     return params, sample_fn, cond
 
 
-def run(batch, sampler="ddim", steps=STEPS, repeats=3, int8=False):
-    params, sample_fn, cond = build(batch, sampler, steps, int8=int8)
+def run(batch, sampler="ddim", steps=STEPS, repeats=3, int8=False,
+        model_channels=96, num_head_channels=48):
+    params, sample_fn, cond = build(
+        batch, sampler, steps, int8=int8, model_channels=model_channels,
+        num_head_channels=num_head_channels,
+    )
     rng = jax.random.PRNGKey(2)
     _fetch(sample_fn(params, cond, rng))  # warmup/compile
     best = 1e9
@@ -177,7 +186,8 @@ def run_cached(batch, sampler="ddim", steps=STEPS):
     return best
 
 
-def run_train(batch=8, n=30, remat=True):
+def run_train(batch=8, n=30, remat=True, model_channels=96,
+              num_head_channels=48):
     """Training-side operating point (VERDICT r3 item 7): ~30 post-warmup
     flagship train steps at 256^2 — the scripts/bench_train.py measurement
     folded into the driver-captured bench so BENCH_r*.json records BOTH
@@ -190,9 +200,10 @@ def run_train(batch=8, n=30, remat=True):
     from dsdiff_tpu.train.step import TaskConfig, make_train_step
 
     model = DSUNet(
-        in_channels=4, model_channels=96, out_channels=2,
+        in_channels=4, model_channels=model_channels, out_channels=2,
         num_res_blocks=2, attention_resolutions=(8, 16, 32),
-        channel_mult=(1, 1, 2, 2, 3, 3), num_head_channels=48,
+        channel_mult=(1, 1, 2, 2, 3, 3),
+        num_head_channels=num_head_channels,
         use_scale_shift_norm=True, remat=remat, dtype=jnp.bfloat16,
     )
     params = model.init(jax.random.PRNGKey(0),
@@ -219,7 +230,7 @@ def run_train(batch=8, n=30, remat=True):
         state, sampler, m = step_fn(state, sampler, batch_data, rng)
     float(np.asarray(m["loss"]))
     dt = (time.perf_counter() - t0) / n
-    fwd_f = forward_gflops(batch) * 1e9
+    fwd_f = forward_gflops(batch, model_channels=model_channels) * 1e9
     algo_f = 3.0 * fwd_f
     dev = str(jax.devices()[0])
     peak = next(
@@ -316,6 +327,40 @@ def main():
         extras.update(run_train(batch=min(used_batch, 8)))
     except Exception:
         pass
+    # c128: the TPU-recommended width (configs/dsdiff_flagship128.yaml,
+    # PROFILE.md §9 — v5e MXU is 128 lanes; C=96 pads every conv operand
+    # 96->128). Recorded with identical accounting so BENCH_r*.json carries
+    # the operating point the docs tell new-task users to deploy.
+    for b128 in [used_batch, 8, 4]:
+        try:
+            dt128 = run(b128, model_channels=128, num_head_channels=32)
+        except Exception as e:
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" in msg
+                    or "out of memory" in msg.lower()):
+                continue
+            break
+        g128 = forward_gflops(b128, model_channels=128)
+        extras["c128_fwd_per_sec"] = round(STEPS * b128 / dt128, 2)
+        extras["c128_slices_per_sec"] = round(b128 / dt128, 3)
+        extras["c128_sample_latency_s"] = round(dt128, 3)
+        extras["c128_batch"] = b128
+        if peak:
+            extras["c128_mfu_pct"] = round(
+                100.0 * g128 * STEPS / dt128 / 1e3 / peak, 1)
+        break
+    for bt in [min(used_batch, 8), 4, 2]:
+        try:
+            tr128 = run_train(batch=bt, model_channels=128,
+                              num_head_channels=32)
+            extras.update({f"c128_{k}": v for k, v in tr128.items()})
+            break
+        except Exception as e:
+            msg = str(e)
+            if ("RESOURCE_EXHAUSTED" in msg
+                    or "out of memory" in msg.lower()):
+                continue
+            break
     # Rejected for the default path (PROFILE.md §10: 0.84x end-to-end on
     # v5e — dynamic act-quant breaks conv fusions); opt-in so the study
     # stays reproducible without charging every bench run its compile.

@@ -58,6 +58,15 @@ LEGS = {
     "edge_sobel": {"use_edge": "sobel"},
     "loss2": {"schedule_sampler": "loss-second-moment"},
     "shannon": {"shannon": True, "shannon_warmup_steps": 2000},
+    # VERDICT r4 item 8: the device-resident data path in a RECORDED
+    # end-to-end hardware training run (until now proven only by probes +
+    # unit tests). Kept as its OWN leg rather than folded into loss2: the
+    # cache samples uniform-with-replacement on device, a different stream
+    # than the host loader's shuffled epochs, so folding it in would
+    # confound the loss2-vs-base delta. Its result is therefore read as
+    # "devcache trains to parity", not as part of the sampler ablation.
+    "loss2_devcache": {"schedule_sampler": "loss-second-moment",
+                       "device_data_cache": True},
 }
 
 
@@ -152,7 +161,7 @@ def run_leg(name, steps, outdir):
                       "train_s": round(time.time() - t0, 1)}), flush=True)
     tr.set_sampler(sampler="ddim", sample_steps=50, ddim_eta=0.0)
     res = {"val": eval_full_val(tr, f"{name}/val")}
-    if name == "loss2":
+    if name.startswith("loss2"):
         # evidence the importance sampler actually warmed up and skews:
         # history filled + non-uniform pmf
         st = jax.device_get(tr.sampler_state)
@@ -187,7 +196,8 @@ def main():
             outdir = Path(a)
     if not targets:
         targets = {"base": 6000, "edge_sobel": 6000,
-                   "loss2": 6000, "shannon": 6000}
+                   "loss2": 6000, "shannon": 6000,
+                   "loss2_devcache": 6000}
     outdir.mkdir(parents=True, exist_ok=True)
     ensure_data(outdir)
     me = str(Path(__file__).resolve())
@@ -222,7 +232,8 @@ def main():
                     k: v for k, v in rec.items() if k != "leg_done"}
         results_path.write_text(json.dumps(results, indent=2))
     if "base" in results:
-        for name in ("edge_sobel", "loss2", "shannon"):
+        for name in ("edge_sobel", "loss2", "shannon",
+                     "loss2_devcache"):
             if name in results:
                 results[f"{name}_delta"] = {
                     k: round(results[name]["val"][k]
